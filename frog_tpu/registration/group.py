@@ -1,0 +1,475 @@
+"""Groupwise registration orchestrator — the reference's ImageGroup::run
+(registration/imageGroup.cxx:31-157) re-built around jitted array kernels.
+
+Host side: configuration, the transform-chain bookkeeping (chain length
+changes when the diffeomorphism guard stacks a fresh grid), measure/record
+output.  Device side: every per-iteration computation (EM, linear update,
+deformable update, point transforms) as fixed-shape jitted kernels over the
+padded ``GroupArrays``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.pairs import PairGraph
+from ..transforms.affine import Affine
+from ..transforms.bspline import BSpline, grid_from_bbox
+from ..transforms.chain import TransformChain
+from . import kernels
+from .state import build_group_state, GroupArrays, GroupMeta
+from .stats import estimate_mixture, histogram, inlier_probability
+
+__all__ = ["GroupConfig", "GroupRegistration"]
+
+
+@dataclasses.dataclass
+class GroupConfig:
+    """Mirrors the reference defaults (imageGroup.h:52-82, stats.cxx:10-12)."""
+
+    linear_iterations: int = 50
+    linear_alpha: float = 0.5
+    use_scale: bool = True
+    linear_anchor: tuple = (0.5, 0.5, 0.5)
+    deformable_levels: int = 3
+    deformable_iterations: int = 200
+    deformable_alpha: float = 0.02
+    initial_grid_size: float = 100.0
+    bbox_margin: float = 0.1
+    stat_interval: int = 10
+    inlier_threshold: float = 0.5
+    guarantee_diffeomorphism: bool = True
+    max_displacement_ratio: float = 0.4
+    landmarks_constraint_weight: float = 50.0
+    n_fixed: int = 0
+    use_ransac: bool = True
+    ransac_iterations: int = 5000
+    ransac_inlier_distance: float = 50.0
+    ransac_max_scale: float = 10.0
+    em_max_iterations: int = 10000
+    em_epsilon: float = 1e-6
+    em_max_samples: int | None = None
+    max_grids_per_level: int = 50
+    transform_subdirectory: str = "transforms"
+    error_maps_subdirectory: str = "errorMaps"
+    measures_file: str = "measures.csv"
+    single_file_transforms: bool = False
+    write_pairs: bool = False
+    verbose: bool = True
+
+
+@dataclasses.dataclass
+class Measure:
+    E: float
+    landmark_av: float = 0.0
+    landmark_max: float = 0.0
+    landmark_std: float = 0.0
+
+
+class GroupRegistration:
+    def __init__(
+        self,
+        graph: PairGraph,
+        config: GroupConfig | None = None,
+        landmarks: dict | None = None,
+        constraint_landmarks: dict | None = None,
+        fixed_chains: list | None = None,
+        output_dir: str = ".",
+    ):
+        self.config = config or GroupConfig()
+        self.output_dir = output_dir
+        merged = dict(landmarks or {})
+        if constraint_landmarks:
+            for name, entries in constraint_landmarks.items():
+                merged.setdefault(name, []).extend(entries)
+        self.arrays, self.meta = build_group_state(
+            graph,
+            n_fixed=self.config.n_fixed,
+            landmarks=merged if merged else None,
+            hard_constraints=bool(constraint_landmarks),
+        )
+        self.movable = jnp.asarray(self.meta.movable)
+        self.measures: list[Measure] = []
+        self.stats_record: dict = {}
+        # Host-side chains (one per image); fixed images keep their loaded
+        # chain, movable ones are built up during the run.
+        n = self.arrays.n_images
+        self.chains: list[TransformChain | None] = [None] * n
+        if fixed_chains:
+            for i, c in enumerate(fixed_chains):
+                self.chains[i] = c
+        if self.config.n_fixed:
+            self._apply_fixed_chains(fixed_chains)
+
+    # ------------------------------------------------------------------ setup
+
+    def _apply_fixed_chains(self, fixed_chains):
+        """Bake fixed images' saved transforms into xyz
+        (imageGroup.cxx:1419-1456)."""
+        xyz = np.array(self.arrays.xyz)
+        for i in range(self.config.n_fixed):
+            chain = self.chains[i]
+            if chain is None:
+                chain = TransformChain(transforms=(Affine(matrix=jnp.eye(4)),))
+                self.chains[i] = chain
+            pts = jnp.asarray(xyz[i])
+            xyz[i] = np.asarray(chain(pts))
+        self.arrays = dataclasses.replace(
+            self.arrays, xyz=jnp.asarray(xyz), xyz2=jnp.asarray(xyz)
+        )
+
+    def _setup_linear_transforms(self):
+        """Anchor-alignment translation init (imageGroup.cxx:806-848)."""
+        xyz = np.asarray(self.arrays.xyz)
+        valid = np.asarray(self.arrays.point_valid)
+        n = xyz.shape[0]
+        anchors = np.zeros((n, 3))
+        c = np.asarray(self.config.linear_anchor)
+        for i in range(n):
+            pts = xyz[i][valid[i]]
+            lo, hi = pts.min(0), pts.max(0)
+            anchors[i] = (1 - c) * lo + c * hi
+        # The reference averages the anchors of the first
+        # (N - n_fixed) images (imageGroup.cxx:822-824): with no fixed
+        # images this is everyone; in fixed mode those are exactly the
+        # already-registered images, i.e. the target space.
+        n_ref = n - self.config.n_fixed
+        avg = anchors[:n_ref].mean(axis=0)
+        affine = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        for i in range(self.config.n_fixed, n):
+            affine[i, :3, 3] = avg - anchors[i]
+        self.arrays = dataclasses.replace(self.arrays, affine=jnp.asarray(affine))
+
+    # ------------------------------------------------------------ device steps
+
+    @staticmethod
+    @jax.jit
+    def _transform_affine(arrays: GroupArrays) -> GroupArrays:
+        xyz2 = kernels.transform_points_affine(arrays.affine, arrays.xyz)
+        return dataclasses.replace(arrays, xyz2=xyz2)
+
+    @staticmethod
+    @jax.jit
+    def _link_distances(arrays: GroupArrays):
+        _, _, dist = kernels.link_geometry(arrays)
+        return dist
+
+    def _update_stats(self):
+        """EM re-estimation over current link distances
+        (imageGroup.cxx:569-598)."""
+        dist = self._link_distances(self.arrays)
+        em = estimate_mixture(
+            dist,
+            self.arrays.link_valid,
+            self.arrays.em,
+            max_iterations=self.config.em_max_iterations,
+            epsilon=self.config.em_epsilon,
+        )
+        self.arrays = dataclasses.replace(self.arrays, em=em)
+
+    # ------------------------------------------------------------- measurement
+
+    def _landmark_stats(self):
+        if not self.meta.landmarks:
+            return None
+        xyz2 = np.asarray(self.arrays.xyz2)
+        dists = []
+        for name, entries in self.meta.landmarks.items():
+            if not entries:
+                continue
+            pos = np.stack([xyz2[img, pt] for img, pt in entries])
+            center = pos.mean(axis=0)
+            dists.extend(np.linalg.norm(pos - center, axis=1).tolist())
+        if not dists:
+            return None
+        d = np.asarray(dists)
+        return float(d.mean()), float(d.max()), float(d.std())
+
+    def _record_measure(self, e: float):
+        if np.isnan(e):
+            raise FloatingPointError("energy is NaN (imageGroup.cxx:1233-1236)")
+        m = Measure(E=float(e))
+        ls = self._landmark_stats()
+        if ls:
+            m.landmark_av, m.landmark_max, m.landmark_std = ls
+        self.measures.append(m)
+        if self.config.verbose:
+            msg = f"E = {m.E:.6g}"
+            if ls:
+                msg += (
+                    f", landmarks: max={m.landmark_max:.4g}"
+                    f", average={m.landmark_av:.4g}, stdev={m.landmark_std:.4g}"
+                )
+            print(msg)
+
+    def count_inliers(self):
+        """Inlier/outlier census + per-image stats record
+        (imageGroup.cxx:988-1060)."""
+        dist = np.asarray(self._link_distances(self.arrays))
+        valid = np.asarray(self.arrays.link_valid)
+        em = self.arrays.em
+        n, p = self.arrays.xyz2.shape[:2]
+        prob_a = np.asarray(inlier_probability(jnp.asarray(dist), em[:, None, :]))
+        dst_img = np.asarray(self.arrays.link_dst) // p
+        prob_b = np.asarray(
+            inlier_probability(jnp.asarray(dist), em[jnp.asarray(dst_img)])
+        )
+        w = np.minimum(prob_a, prob_b)
+        em_np = np.asarray(em)
+        images = []
+        n_pairs = n_in = n_out = 0
+        for i in range(n):
+            v = valid[i]
+            if i >= self.config.n_fixed:
+                wi = w[i][v]
+                inl = int((wi >= self.config.inlier_threshold).sum())
+                out = int((wi < self.config.inlier_threshold).sum())
+                n_pairs += len(wi)
+                n_in += inl
+                n_out += out
+            else:
+                inl = out = 0
+            images.append(
+                {
+                    "points": int(self.meta.n_points[i]),
+                    "pairs": int(valid[i].sum()) if i >= self.config.n_fixed else 0,
+                    "inliers": inl,
+                    "outliers": out,
+                    "EMStats": {
+                        "c1": float(em_np[i, 0]),
+                        "c2": float(em_np[i, 1]),
+                        "ratio": float(em_np[i, 2]),
+                    },
+                }
+            )
+        self.stats_record["images"] = images
+        self.stats_record["halfPairs"] = n_pairs
+        self.stats_record["inliers"] = n_in
+        self.stats_record["outliers"] = n_out
+        self.stats_record["outlierRatio"] = n_out / max(n_pairs, 1)
+        if self.config.verbose:
+            print(
+                f"Stats: {n_pairs} half pairs, {n_in} inliers, {n_out} outliers"
+                f" ({100.0 * n_out / max(n_pairs, 1):.2f}% outliers)"
+            )
+
+    # ------------------------------------------------------------------- run
+
+    def run(self):
+        cfg = self.config
+        self._setup_linear_transforms()
+        self.arrays = self._transform_affine(self.arrays)
+
+        if cfg.use_ransac and cfg.n_fixed:
+            from .ransac import ransac_register_images
+
+            self.arrays, ransac_stats = ransac_register_images(
+                self.arrays, self.meta, cfg
+            )
+            self.stats_record["RANSAC"] = ransac_stats
+            self.arrays = self._transform_affine(self.arrays)
+            self._update_stats()
+        else:
+            if cfg.verbose:
+                print("Linear registration")
+            for it in range(cfg.linear_iterations):
+                if it % cfg.stat_interval == 0:
+                    self._update_stats()
+                affine, e = self._linear_step()
+                self.arrays = dataclasses.replace(self.arrays, affine=affine)
+                self.arrays = self._transform_affine(self.arrays)
+                self._record_measure(float(e))
+
+        # Bake the linear stage and snapshot the chains.
+        self._bake()
+        for i in range(cfg.n_fixed, self.arrays.n_images):
+            self.chains[i] = TransformChain(
+                transforms=(Affine(matrix=self.arrays.affine[i]),)
+            )
+        self.linear_histograms = self._current_histograms()
+
+        grids_per_level = []
+        if cfg.deformable_levels:
+            if cfg.verbose:
+                print("Deformable registration")
+            self.count_inliers()
+            for level in range(cfg.deformable_levels):
+                n_grids = self._run_level(level)
+                grids_per_level.append(n_grids)
+            self.count_inliers()
+        self.grids_per_level = grids_per_level
+        self.final_histograms = self._current_histograms()
+        if "images" not in self.stats_record:
+            self.count_inliers()
+        self.stats_record["bbox"] = self._bbox_record()
+        return self
+
+    def _linear_step(self):
+        return _jit_linear_update(
+            self.arrays,
+            self.movable,
+            jnp.float32(self.config.linear_alpha),
+            self.config.use_scale,
+        )
+
+    def _run_level(self, level: int) -> int:
+        """One deformable level with the stacked-grid diffeomorphism
+        guarantee (imageGroup.cxx:78-128)."""
+        cfg = self.config
+        n = self.arrays.n_images
+        size = cfg.initial_grid_size / (2.0**level)
+        lo, hi = self._movable_bbox()
+        dims, origin, spacing = grid_from_bbox(lo, hi, size, margin=cfg.bbox_margin)
+        if cfg.verbose:
+            print(
+                f"Level {level + 1}/{cfg.deformable_levels}: grid dims {dims},"
+                f" spacing {np.round(spacing, 3).tolist()}"
+            )
+        coeffs = jnp.zeros((n, *dims, 3), jnp.float32)
+        origin_d = jnp.asarray(origin, jnp.float32)
+        spacing_d = jnp.asarray(spacing, jnp.float32)
+        constraint_weight = n * cfg.landmarks_constraint_weight
+        subtract_mean = cfg.n_fixed == 0
+        alpha = cfg.deformable_alpha
+        n_grids = 1
+        n_diffeo_iters = 0
+
+        # xyz2 = xyz under the fresh zero grid.
+        self.arrays = dataclasses.replace(self.arrays, xyz2=self.arrays.xyz)
+
+        it = 0
+        while it < cfg.deformable_iterations:
+            if it % cfg.stat_interval == 0:
+                self._update_stats()
+            candidate, n_big, e = _jit_deformable_update(
+                self.arrays,
+                self.movable,
+                coeffs,
+                origin_d,
+                spacing_d,
+                jnp.float32(alpha),
+                cfg.inlier_threshold,
+                constraint_weight,
+                cfg.max_displacement_ratio,
+                subtract_mean,
+            )
+            if cfg.guarantee_diffeomorphism and int(n_big) > 0:
+                # Reject: bake current grid, stack a fresh one, retry
+                # (imageGroup.cxx:97-115).
+                if n_diffeo_iters == 0:
+                    alpha /= 2
+                    if cfg.verbose:
+                        print(f"Halving alpha. New value: {alpha}")
+                if cfg.verbose:
+                    print("Diffeomorphism not guaranteed: stacking a new grid")
+                if n_grids >= cfg.max_grids_per_level:
+                    raise RuntimeError(
+                        f"level {level}: exceeded {cfg.max_grids_per_level} grids"
+                    )
+                n_grids += 1
+                self._freeze_grid(coeffs, origin, spacing)
+                self._bake_bspline(coeffs, origin_d, spacing_d)
+                coeffs = jnp.zeros((n, *dims, 3), jnp.float32)
+                self.arrays = dataclasses.replace(self.arrays, xyz2=self.arrays.xyz)
+                n_diffeo_iters = 0
+                continue
+
+            coeffs = candidate
+            n_diffeo_iters += 1
+            xyz2 = kernels.transform_points_bspline(
+                coeffs, origin_d, spacing_d, self.arrays.xyz
+            )
+            self.arrays = dataclasses.replace(self.arrays, xyz2=xyz2)
+            self._record_measure(float(e))
+            it += 1
+
+        self._freeze_grid(coeffs, origin, spacing)
+        self._bake_bspline(coeffs, origin_d, spacing_d)
+        if self.config.verbose:
+            print(f"Number of grids for this level: {n_grids}")
+        self._last_level_geometry = (dims, origin, spacing)
+        return n_grids
+
+    # --------------------------------------------------------------- plumbing
+
+    def _movable_bbox(self):
+        from .state import bounding_box
+
+        return bounding_box(self.arrays, self.meta.movable)
+
+    def _bbox_record(self):
+        from .state import bounding_box
+
+        lo, hi = bounding_box(self.arrays, np.ones(self.arrays.n_images, bool))
+        return [list(map(float, lo)), list(map(float, hi))]
+
+    def _bake(self):
+        self.arrays = dataclasses.replace(self.arrays, xyz=self.arrays.xyz2)
+
+    def _bake_bspline(self, coeffs, origin_d, spacing_d):
+        xyz2 = kernels.transform_points_bspline(
+            coeffs, origin_d, spacing_d, self.arrays.xyz
+        )
+        self.arrays = dataclasses.replace(self.arrays, xyz=xyz2, xyz2=xyz2)
+
+    def _freeze_grid(self, coeffs, origin, spacing):
+        """Append the current grid's coefficients to every movable image's
+        chain."""
+        coeffs_np = np.asarray(coeffs)
+        for i in range(self.config.n_fixed, self.arrays.n_images):
+            grid = BSpline(
+                coeffs=jnp.asarray(coeffs_np[i]),
+                origin=jnp.asarray(origin, jnp.float32),
+                spacing=jnp.asarray(spacing, jnp.float32),
+            )
+            self.chains[i] = self.chains[i].append(grid)
+
+    def _current_histograms(self):
+        dist = self._link_distances(self.arrays)
+        return histogram(dist, np.asarray(self.arrays.link_valid))
+
+    # ---------------------------------------------------------------- outputs
+
+    def save_outputs(self, out_dir: str | None = None):
+        from .outputs import save_all
+
+        save_all(self, out_dir or self.output_dir)
+        return self
+
+
+@partial(jax.jit, static_argnames=("use_scale",))
+def _jit_linear_update(arrays, movable, alpha, use_scale):
+    return kernels.linear_update(arrays, movable, alpha, use_scale)
+
+
+@partial(jax.jit, static_argnames=("subtract_mean",))
+def _jit_deformable_update(
+    arrays,
+    movable,
+    coeffs,
+    origin,
+    spacing,
+    alpha,
+    inlier_threshold,
+    constraint_weight,
+    max_displacement_ratio,
+    subtract_mean,
+):
+    return kernels.deformable_update(
+        arrays,
+        movable,
+        coeffs,
+        origin,
+        spacing,
+        alpha,
+        inlier_threshold,
+        constraint_weight,
+        max_displacement_ratio,
+        subtract_mean,
+    )

@@ -1,0 +1,96 @@
+import numpy as np
+
+from frog_tpu.io.pairs import ImagePoints, PairGraph, read_pairs, write_pairs
+
+
+def make_graph(seed=0, n=3, p=50):
+    rng = np.random.default_rng(seed)
+    images = []
+    for i in range(n):
+        images.append(
+            ImagePoints(
+                name=f"points{i}.csv.gz",
+                ref_translation=rng.normal(size=3),
+                xyz=rng.uniform(0, 100, (p, 3)).astype(np.float32),
+                other=rng.uniform(0, 2, (p, 3)).astype(np.float32),
+            )
+        )
+    matches = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            m = rng.integers(0, p, size=(rng.integers(5, 20), 2))
+            matches[(i, j)] = m.astype(np.int64)
+    return PairGraph(images=images, matches=matches)
+
+
+def test_pairs_roundtrip(tmp_path):
+    g = make_graph()
+    f = str(tmp_path / "pairs.bin")
+    write_pairs(f, g)
+    back = read_pairs(f)
+    assert back.n_images == g.n_images
+    assert back.n_matches == g.n_matches
+    for a, b in zip(g.images, back.images):
+        assert a.name == b.name
+        np.testing.assert_allclose(a.ref_translation, b.ref_translation)
+        np.testing.assert_allclose(a.xyz, b.xyz)
+        np.testing.assert_allclose(a.other, b.other)
+    for key in g.matches:
+        np.testing.assert_array_equal(g.matches[key], back.matches[key])
+
+
+def test_pairs_uint16_ids(tmp_path):
+    g = make_graph()
+    f = str(tmp_path / "pairs16.bin")
+    write_pairs(f, g, point_id_dtype=np.uint16)
+    back = read_pairs(f, point_id_dtype=np.uint16)
+    assert back.n_matches == g.n_matches
+
+
+def test_pairs_reference_layout(tmp_path):
+    """Byte-level check of the header layout (match.cpp:675-744)."""
+    import struct
+
+    g = make_graph(n=2, p=3)
+    f = str(tmp_path / "pairs.bin")
+    write_pairs(f, g)
+    raw = open(f, "rb").read()
+    (n,) = struct.unpack_from("<H", raw, 0)
+    assert n == 2
+    (name_len,) = struct.unpack_from("<H", raw, 2)
+    assert raw[4 : 4 + name_len].decode() == "points0.csv.gz"
+    off = 4 + name_len
+    ref = np.frombuffer(raw, "<f8", 3, off)
+    np.testing.assert_allclose(ref, g.images[0].ref_translation)
+    off += 24
+    (npts,) = np.frombuffer(raw, np.uint32, 1, off)
+    assert npts == 3
+    off += 4
+    row = np.frombuffer(raw, "<f4", 6, off)
+    np.testing.assert_allclose(row[:3], g.images[0].xyz[0])
+    np.testing.assert_allclose(row[3:], g.images[0].other[0])
+
+
+def test_keypoints_roundtrip(tmp_path):
+    from frog_tpu.io.keypoints import Keypoints, read_keypoints, write_keypoints
+
+    rng = np.random.default_rng(2)
+    mat = rng.normal(size=(20, 54)).astype(np.float32)
+    kp = Keypoints.from_matrix(mat)
+    for name in ("k.csv", "k.csv.gz", "k.bin"):
+        f = str(tmp_path / name)
+        write_keypoints(f, kp)
+        back = read_keypoints(f)
+        assert len(back) == 20 and back.ndesc == 48
+        np.testing.assert_allclose(back.to_matrix(), mat, rtol=1e-5)
+
+
+def test_keypoints_top_by_response():
+    from frog_tpu.io.keypoints import Keypoints
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(100, 54)).astype(np.float32)
+    kp = Keypoints.from_matrix(mat)
+    top = kp.top_by_response(10)
+    assert len(top) == 10
+    assert top.response.min() >= np.sort(kp.response)[-10]
