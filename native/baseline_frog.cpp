@@ -1,0 +1,355 @@
+// baseline_frog — reference-equivalent CPU implementation of the FROG
+// groupwise optimizer hot loops (EM weighting, linear similarity update,
+// one deformable B-spline level), used by bench.py to produce an honest
+// measured baseline on this machine's CPUs.
+//
+// Algorithms follow valette/FROG (registration/imageGroup.cxx,
+// registration/stats.cxx) — same math, same OpenMP parallelization
+// structure — implemented fresh for this benchmark harness.
+//
+// Usage: baseline_frog pairs.bin <linearIters> <deformIters> <gridSize>
+// Prints one JSON line with per-phase seconds.
+
+#include <algorithm>
+#include <chrono>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+using std::vector;
+
+struct HalfLink {
+    uint32_t src;     // point in owning image
+    uint16_t dstImg;
+    uint32_t dstPt;
+};
+
+struct ImageData {
+    vector<float> xyz;    // 3*P current (baked) coords
+    vector<float> xyz2;   // 3*P transformed coords
+    vector<HalfLink> links;
+    // EM mixture params
+    float c1 = 10.f, c2 = 300.f, ratio = 0.5f;
+    // linear transform: diagonal scale + translation
+    float scale[3] = {1, 1, 1};
+    float trans[3] = {0, 0, 0};
+};
+
+static double now() {
+    using namespace std::chrono;
+    return duration<double>(steady_clock::now().time_since_epoch()).count();
+}
+
+static inline float chipdf(float x) {
+    float x2 = x * x;
+    return 0.797884560802865f * x2 * expf(-0.5f * x2);
+}
+
+static inline float inlierProb(const ImageData& im, float d) {
+    const float eps = 1e-10f;
+    if (d < 0.1f) return 1.f;
+    float c1 = im.c1 + eps, c2 = im.c2 + eps;
+    float x1 = im.ratio * chipdf(d / c1) / c1;
+    float x2 = (1.f - im.ratio) * chipdf(d / c2) / c2;
+    return x1 / (x1 + x2 + eps);
+}
+
+static void estimateEM(ImageData& im, const vector<float>& samples) {
+    const float esp = 1.59576912160573f;
+    const float eps = 1e-6f;
+    for (int it = 0; it < 10000; it++) {
+        double s1 = 0, s2 = 0, s3 = 0, s4 = 0, s5 = 0;
+        for (float d : samples) {
+            float f1 = im.ratio * chipdf(d / im.c1) / im.c1;
+            float f2 = (1.f - im.ratio) * chipdf(d / im.c2) / im.c2;
+            float t = f1 / (f1 + f2 + 1e-16f);
+            s1 += t * d; s2 += t; s3 += (1.f - t) * d; s4 += 1.f - t; s5 += 1.f;
+        }
+        s2 = std::max(s2, (double)eps); s3 = std::max(s3, (double)eps);
+        s4 = std::max(s4, (double)eps); s5 = std::max(s5, (double)eps);
+        float nc1 = std::max(eps, (float)(s1 / s2 / esp));
+        float nc2 = std::max(eps, (float)(s3 / s4 / esp));
+        float nr = std::max(eps, (float)(s2 / s5));
+        bool done = fabsf((im.c1 - nc1) / nc1) < 0.001f &&
+                    fabsf((im.c2 - nc2) / nc2) < 0.001f &&
+                    fabsf((nr - im.ratio) / nr) < 0.001f;
+        im.c1 = nc1; im.c2 = nc2; im.ratio = nr;
+        if (done) break;
+    }
+}
+
+static void bsplineWeights(double F[4], double f) {
+    const double sixth = 1.0 / 6.0;
+    double f2 = f * f;
+    F[3] = f2 * f * sixth;
+    F[0] = (f2 - f) * 0.5 - F[3] + sixth;
+    F[2] = f + F[0] - 2 * F[3];
+    F[1] = 1 - F[0] - F[2] - F[3];
+}
+
+int main(int argc, char** argv) {
+    if (argc < 5) {
+        fprintf(stderr, "usage: %s pairs.bin nLinear nDeform gridSize [maxEMSamples]\n", argv[0]);
+        return 1;
+    }
+    int nLinear = atoi(argv[2]);
+    int nDeform = atoi(argv[3]);
+    double gridSize = atof(argv[4]);
+    size_t maxEM = argc > 5 ? (size_t)atol(argv[5]) : 10000;
+
+    // ---- read pairs.bin (format: match.cpp:675-744)
+    FILE* f = fopen(argv[1], "rb");
+    if (!f) { perror("open"); return 1; }
+    uint16_t nImages = 0;
+    if (fread(&nImages, 2, 1, f) != 1) return 1;
+    vector<ImageData> images(nImages);
+    for (int i = 0; i < nImages; i++) {
+        uint16_t nameLen; fread(&nameLen, 2, 1, f);
+        fseek(f, nameLen, SEEK_CUR);
+        double ref[3]; fread(ref, 8, 3, f);
+        uint32_t nPts; fread(&nPts, 4, 1, f);
+        images[i].xyz.resize(3 * (size_t)nPts);
+        for (uint32_t p = 0; p < nPts; p++) {
+            float row[6]; fread(row, 4, 6, f);
+            memcpy(&images[i].xyz[3 * p], row, 12);
+        }
+        images[i].xyz2 = images[i].xyz;
+    }
+    size_t nPairs = 0;
+    while (true) {
+        uint16_t a, b; uint32_t size;
+        if (fread(&a, 2, 1, f) != 1) break;
+        fread(&b, 2, 1, f); fread(&size, 4, 1, f);
+        for (uint32_t k = 0; k < size; k++) {
+            uint32_t p1, p2; fread(&p1, 4, 1, f); fread(&p2, 4, 1, f);
+            images[a].links.push_back({p1, b, p2});
+            images[b].links.push_back({p2, a, p1});
+        }
+        nPairs += size;
+    }
+    fclose(f);
+    int n = nImages;
+
+    // ---- anchor-centering init (imageGroup.cxx:806-848)
+    vector<double> anchor(3 * n, 0), avg(3, 0);
+    for (int i = 0; i < n; i++) {
+        double lo[3] = {1e30, 1e30, 1e30}, hi[3] = {-1e30, -1e30, -1e30};
+        for (size_t p = 0; p < images[i].xyz.size() / 3; p++)
+            for (int k = 0; k < 3; k++) {
+                double v = images[i].xyz[3 * p + k];
+                lo[k] = std::min(lo[k], v); hi[k] = std::max(hi[k], v);
+            }
+        for (int k = 0; k < 3; k++) {
+            anchor[3 * i + k] = 0.5 * (lo[k] + hi[k]);
+            avg[k] += anchor[3 * i + k] / n;
+        }
+    }
+    for (int i = 0; i < n; i++)
+        for (int k = 0; k < 3; k++)
+            images[i].trans[k] = (float)(avg[k] - anchor[3 * i + k]);
+
+    auto transformLinear = [&]() {
+#pragma omp parallel for
+        for (int i = 0; i < n; i++) {
+            ImageData& im = images[i];
+            size_t P = im.xyz.size() / 3;
+            for (size_t p = 0; p < P; p++)
+                for (int k = 0; k < 3; k++)
+                    im.xyz2[3 * p + k] = im.xyz[3 * p + k] * im.scale[k] + im.trans[k];
+        }
+    };
+
+    auto updateStats = [&]() {
+#pragma omp parallel for
+        for (int i = 0; i < n; i++) {
+            ImageData& im = images[i];
+            vector<float> samples;
+            size_t stride = std::max<size_t>(1, im.links.size() / maxEM);
+            samples.reserve(im.links.size() / stride + 1);
+            for (size_t l = 0; l < im.links.size(); l += stride) {
+                const HalfLink& lk = im.links[l];
+                const float* pA = &im.xyz2[3 * lk.src];
+                const float* pB = &images[lk.dstImg].xyz2[3 * lk.dstPt];
+                float d2 = 0;
+                for (int k = 0; k < 3; k++) {
+                    float dd = pA[k] - pB[k]; d2 += dd * dd;
+                }
+                samples.push_back(sqrtf(d2));
+            }
+            estimateEM(im, samples);
+        }
+    };
+
+    double tStats = 0, tLinear = 0, tDeform = 0;
+
+    // ---- linear loop (imageGroup.cxx:54-66, 1063-1149)
+    transformLinear();
+    for (int it = 0; it < nLinear; it++) {
+        double t0 = now();
+        if (it % 10 == 0) updateStats();
+        double t1 = now(); tStats += t1 - t0;
+#pragma omp parallel for
+        for (int i = 0; i < n; i++) {
+            ImageData& im = images[i];
+            double sDisp[3] = {0}, sA[3] = {0}, sB[3] = {0}, sA2[3] = {0}, sB2[3] = {0};
+            double sW = 0;
+            for (const HalfLink& lk : im.links) {
+                const float* pA = &im.xyz2[3 * lk.src];
+                const float* pB = &images[lk.dstImg].xyz2[3 * lk.dstPt];
+                float diff[3], d2 = 0;
+                for (int k = 0; k < 3; k++) { diff[k] = pB[k] - pA[k]; d2 += diff[k] * diff[k]; }
+                float d = sqrtf(d2);
+                float w = std::min(inlierProb(im, d), inlierProb(images[lk.dstImg], d));
+                for (int k = 0; k < 3; k++) {
+                    sDisp[k] += w * diff[k];
+                    sA[k] += w * pA[k]; sB[k] += w * pB[k];
+                    sA2[k] += w * pA[k] * pA[k]; sB2[k] += w * pB[k] * pB[k];
+                }
+                sW += w;
+            }
+            for (int k = 0; k < 3; k++) {
+                float ns = powf((float)((sW * sB2[k] - sB[k] * sB[k]) /
+                                        (sW * sA2[k] - sA[k] * sA[k])), 0.25f);
+                if (std::isnan(ns)) continue;
+                im.scale[k] *= ns;
+                im.trans[k] += (float)(0.5 * sDisp[k] / sW + sA[k] * (1 - ns) / sW);
+            }
+        }
+        transformLinear();
+        tLinear += now() - t1;
+    }
+    // bake
+    for (int i = 0; i < n; i++) images[i].xyz = images[i].xyz2;
+
+    // ---- one deformable level (imageGroup.cxx:159-232, 234-472)
+    double lo[3] = {1e30, 1e30, 1e30}, hi[3] = {-1e30, -1e30, -1e30};
+    for (int i = 0; i < n; i++)
+        for (size_t p = 0; p < images[i].xyz.size() / 3; p++)
+            for (int k = 0; k < 3; k++) {
+                double v = images[i].xyz[3 * p + k];
+                lo[k] = std::min(lo[k], v); hi[k] = std::max(hi[k], v);
+            }
+    int dims[3]; double origin[3], spacing[3];
+    for (int k = 0; k < 3; k++) {
+        double c = 0.5 * (lo[k] + hi[k]), half = 0.6 * (hi[k] - lo[k]);
+        double len = 2 * half;
+        int cells = std::max(1, (int)lround(len / gridSize));
+        spacing[k] = len / cells;
+        origin[k] = (c - half) - spacing[k];
+        dims[k] = cells + 3;
+    }
+    size_t G = (size_t)dims[0] * dims[1] * dims[2];
+    vector<vector<float>> coeffs(n, vector<float>(3 * G, 0.f));
+    vector<vector<float>> grad(n, vector<float>(4 * G, 0.f));
+
+    auto transformBspline = [&]() {
+#pragma omp parallel for
+        for (int i = 0; i < n; i++) {
+            ImageData& im = images[i];
+            size_t P = im.xyz.size() / 3;
+            for (size_t p = 0; p < P; p++) {
+                double F[3][4]; int base[3];
+                for (int k = 0; k < 3; k++) {
+                    double u = (im.xyz[3 * p + k] - origin[k]) / spacing[k];
+                    int iu = (int)floor(u);
+                    bsplineWeights(F[k], u - iu);
+                    base[k] = iu - 1;
+                }
+                double disp[3] = {0, 0, 0};
+                for (int c = 0; c < 4; c++) for (int b = 0; b < 4; b++) for (int a = 0; a < 4; a++) {
+                    int x = base[0] + a, y = base[1] + b, z = base[2] + c;
+                    if (x < 0 || y < 0 || z < 0 || x >= dims[0] || y >= dims[1] || z >= dims[2]) continue;
+                    size_t id = 3 * ((size_t)(z * dims[1] + y) * dims[0] + x);
+                    double w = F[0][a] * F[1][b] * F[2][c];
+                    for (int k = 0; k < 3; k++) disp[k] += w * coeffs[i][id + k];
+                }
+                for (int k = 0; k < 3; k++)
+                    im.xyz2[3 * p + k] = im.xyz[3 * p + k] + (float)disp[k];
+            }
+        }
+    };
+
+    transformBspline();
+    for (int it = 0; it < nDeform; it++) {
+        double t0 = now();
+        if (it % 10 == 0) updateStats();
+        double t1 = now(); tStats += t1 - t0;
+#pragma omp parallel for
+        for (int i = 0; i < n; i++) {
+            ImageData& im = images[i];
+            std::fill(grad[i].begin(), grad[i].end(), 0.f);
+            size_t P = im.xyz.size() / 3;
+            vector<float> sDisp(3 * P, 0.f), sWeight(P, 0.f);
+            for (const HalfLink& lk : im.links) {
+                const float* pA = &im.xyz2[3 * lk.src];
+                const float* pB = &images[lk.dstImg].xyz2[3 * lk.dstPt];
+                float diff[3], d2 = 0;
+                for (int k = 0; k < 3; k++) { diff[k] = pB[k] - pA[k]; d2 += diff[k] * diff[k]; }
+                float d = sqrtf(d2);
+                float w = std::min(inlierProb(im, d), inlierProb(images[lk.dstImg], d));
+                if (w < 0.5f) continue;
+                float w2 = w * w;
+                for (int k = 0; k < 3; k++) sDisp[3 * lk.src + k] += w2 * diff[k];
+                sWeight[lk.src] += w2;
+            }
+            for (size_t p = 0; p < P; p++) {
+                if (sWeight[p] == 0) continue;
+                double F[3][4]; int base[3];
+                for (int k = 0; k < 3; k++) {
+                    double u = (im.xyz[3 * p + k] - origin[k]) / spacing[k];
+                    int iu = (int)floor(u);
+                    bsplineWeights(F[k], u - iu);
+                    base[k] = iu - 1;
+                }
+                for (int c = 0; c < 4; c++) for (int b = 0; b < 4; b++) for (int a = 0; a < 4; a++) {
+                    int x = base[0] + a, y = base[1] + b, z = base[2] + c;
+                    if (x < 0 || y < 0 || z < 0 || x >= dims[0] || y >= dims[1] || z >= dims[2]) continue;
+                    size_t id = 4 * ((size_t)(z * dims[1] + y) * dims[0] + x);
+                    double w = F[0][a] * F[1][b] * F[2][c];
+                    for (int k = 0; k < 3; k++) grad[i][id + k] += (float)(w * sDisp[3 * p + k]);
+                    grad[i][id + 3] += (float)(w * sWeight[p]);
+                }
+            }
+            for (size_t g = 0; g < G; g++) {
+                float cw = grad[i][4 * g + 3];
+                for (int k = 0; k < 3; k++) {
+                    float nv = coeffs[i][3 * g + k];
+                    if (cw > 0) nv += 0.02f * grad[i][4 * g + k] / cw;
+                    grad[i][4 * g + k] = nv;
+                }
+            }
+        }
+        // mean subtraction barrier (imageGroup.cxx:379-432)
+#pragma omp parallel for
+        for (long g = 0; g < (long)G; g++) {
+            for (int k = 0; k < 3; k++) {
+                double sum = 0;
+                for (int i = 0; i < n; i++) sum += grad[i][4 * g + k];
+                sum /= n;
+                for (int i = 0; i < n; i++)
+                    coeffs[i][3 * g + k] = grad[i][4 * g + k] - (float)sum;
+            }
+        }
+        transformBspline();
+        tDeform += now() - t1;
+    }
+
+    printf("{\"images\": %d, \"halfLinks\": %zu, \"stats_s\": %.4f, "
+           "\"linear_s\": %.4f, \"linear_iters\": %d, \"deform_s\": %.4f, "
+           "\"deform_iters\": %d, \"grid\": [%d,%d,%d], \"threads\": %d}\n",
+           n, 2 * nPairs, tStats, tLinear, nLinear, tDeform, nDeform,
+           dims[0], dims[1], dims[2],
+#ifdef _OPENMP
+           omp_get_max_threads()
+#else
+           1
+#endif
+    );
+    return 0;
+}
