@@ -1,0 +1,322 @@
+"""Pipeline drivers — the FROG.py / run.sh / tools/register.py layer.
+
+File-level contracts match the reference: keypoint files points<i>.csv.gz,
+a volumes.txt list, pairs.bin, transforms/<i>.json, bbox.json, and the
+average-image flow DummyVolumeGenerator -> VolumeTransform per image ->
+AverageVolumes (FROG.py:98-129).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+from .io.keypoints import Keypoints, read_keypoints, write_keypoints
+from .io.mhd import read_volume, write_volume
+from .io.pairs import PairGraph, read_pairs, write_pairs
+from .ops.matcher import MatchParams, match_graph
+from .ops.surf3d import SurfParams, extract_keypoints
+from .registration import GroupConfig, GroupRegistration
+from .tools.atlas import average_volumes, dummy_volume
+from .tools.resample import resample_volume
+from .transforms.io import read_transform
+
+VOLUME_EXTENSIONS = (".nii.gz", ".nii", ".mhd", ".mha")
+KEYPOINT_EXTENSIONS = (".csv.gz",)
+
+
+def find_inputs(path: str) -> list:
+    """Input collection: directory scan or list file (FROG.py:131-148)."""
+    exts = VOLUME_EXTENSIONS + KEYPOINT_EXTENSIONS
+    files = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(exts):
+                files.append(os.path.abspath(os.path.join(path, f)))
+    else:
+        base = os.path.dirname(path)
+        with open(path) as fh:
+            for line in fh.read().split("\n"):
+                if line.startswith("#") or not line.strip():
+                    continue
+                if line.endswith(exts):
+                    files.append(os.path.join(base, line.strip()))
+    return files
+
+
+def extract_stage(
+    files: list,
+    surf: SurfParams,
+    out_dir: str = ".",
+    masks: list | None = None,
+    skip_existing: bool = False,
+    verbose: bool = True,
+) -> list:
+    """Per-volume keypoint extraction with skip-existing
+    (FROG.py:179-208).  Returns the keypoint file list."""
+    keypoint_files = []
+    for i, f in enumerate(files):
+        if f.endswith(".csv.gz"):
+            keypoint_files.append(f)
+            continue
+        out = os.path.join(out_dir, f"points{len(keypoint_files)}.csv.gz")
+        keypoint_files.append(out)
+        if skip_existing and os.path.exists(out):
+            if verbose:
+                print(f"{out} exists, skipping")
+            continue
+        t0 = time.time()
+        vol = read_volume(f)
+        mask = None
+        if masks and i < len(masks) and masks[i]:
+            mask = read_volume(masks[i])
+        kp = extract_keypoints(vol, surf, mask=mask)
+        write_keypoints(out, kp)
+        if verbose:
+            print(
+                f"extracted {len(kp)} keypoints from {os.path.basename(f)}"
+                f" in {time.time() - t0:.1f}s -> {out}"
+            )
+    return keypoint_files
+
+
+def match_stage(
+    keypoint_files: list,
+    params: MatchParams,
+    out_file: str = "pairs.bin",
+    n_points: int | None = None,
+    min_response: float = 0.0,
+    zmin: float = -1e20,
+    zmax: float = 1e20,
+    target: int | None = None,
+    transform_prefix: str | None = None,
+    skip_existing: bool = False,
+    verbose: bool = True,
+) -> PairGraph:
+    """Load + prune keypoints, build the match graph, write pairs.bin
+    (match/match.cpp main flow)."""
+    if skip_existing and os.path.exists(out_file):
+        if verbose:
+            print(f"{out_file} exists, skipping matching")
+        return read_pairs(out_file)
+    kps = []
+    positions = None
+    for idx, f in enumerate(keypoint_files):
+        kp = read_keypoints(f)
+        if zmin > -1e19 or zmax < 1e19:
+            keep = (kp.xyz[:, 2] >= zmin) & (kp.xyz[:, 2] <= zmax)
+            kp = kp.select(np.flatnonzero(keep))
+        if n_points is not None or min_response > 0:
+            kp = kp.top_by_response(n_points or len(kp), min_response)
+        kps.append(kp)
+    if transform_prefix:
+        # -transformPrefix: pre-transform positions for the -anat gate
+        # (match.cpp:516-525)
+        import jax.numpy as jnp
+
+        positions = []
+        for idx, kp in enumerate(kps):
+            chain = read_transform(f"{transform_prefix}{idx}.json")
+            positions.append(np.asarray(chain(jnp.asarray(kp.xyz))))
+    names = [os.path.basename(f) for f in keypoint_files]
+    graph = match_graph(
+        kps, params, names=names, target=target, positions=positions,
+        progress=verbose,
+    )
+    if out_file:
+        write_pairs(out_file, graph)
+    if verbose:
+        print(f"{graph.n_matches} matches -> {out_file}")
+    return graph
+
+
+def load_landmark_dir(path: str, invert_xy: bool = True) -> dict:
+    """Per-image landmark CSVs: sorted files, lines ``name,x,y,z``
+    (imageGroup.cxx:1161-1206); x and y are negated by default."""
+    out: dict = {}
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if os.path.isfile(os.path.join(path, f))
+    )
+    for i, f in enumerate(files):
+        with open(f) as fh:
+            for line in fh:
+                if line.startswith("#") or not line.strip():
+                    continue
+                parts = line.strip().split(",")
+                if len(parts) < 4:
+                    continue
+                name = parts[0]
+                xyz = [float(v) for v in parts[1:4]]
+                if invert_xy:
+                    xyz[0] = -xyz[0]
+                    xyz[1] = -xyz[1]
+                out.setdefault(name, []).append((i, np.asarray(xyz, np.float32)))
+    return out
+
+
+def register_stage(
+    graph: PairGraph,
+    config: GroupConfig,
+    landmarks: dict | None = None,
+    constraints: dict | None = None,
+    fixed_transforms_dir: str | None = None,
+    output_dir: str = ".",
+) -> GroupRegistration:
+    fixed_chains = None
+    if config.n_fixed and fixed_transforms_dir:
+        fixed_chains = [
+            read_transform(os.path.join(fixed_transforms_dir, f"{i}.json"))
+            for i in range(config.n_fixed)
+        ]
+    reg = GroupRegistration(
+        graph,
+        config,
+        landmarks=landmarks,
+        constraint_landmarks=constraints,
+        fixed_chains=fixed_chains,
+        output_dir=output_dir,
+    )
+    reg.run()
+    reg.save_outputs(output_dir)
+    return reg
+
+
+def average_stage(
+    files: list,
+    spacing: float,
+    transforms_dir: str = "transforms",
+    out_dir: str = ".",
+    bbox_file: str = "bbox.json",
+    verbose: bool = True,
+):
+    """Common-space mean/stdev atlas (FROG.py:98-129, transform.sh)."""
+    ref = dummy_volume(os.path.join(out_dir, bbox_file), spacing)
+    write_volume(os.path.join(out_dir, "dummy.mhd"), ref)
+    transformed = []
+    for i, f in enumerate(files):
+        chain = read_transform(os.path.join(out_dir, transforms_dir, f"{i}.json"))
+        vol = read_volume(f)
+        out = resample_volume(vol, ref, chain=chain, inverse=True)
+        name = os.path.join(out_dir, f"transformed{i}.nii.gz")
+        write_volume(name, out)
+        transformed.append(name)
+        if verbose:
+            print(f"resampled {os.path.basename(f)} -> {name}")
+    mean, std = average_volumes(transformed)
+    write_volume(os.path.join(out_dir, "average.nii.gz"), mean)
+    write_volume(os.path.join(out_dir, "stdev.nii.gz"), std)
+    return mean, std
+
+
+def run_pipeline(
+    input_path: str,
+    output_dir: str | None = None,
+    surf: SurfParams = SurfParams(),
+    match_params: MatchParams = MatchParams(max_distance=1e10, second_ratio=1.0),
+    config: GroupConfig = GroupConfig(),
+    landmarks_path: str | None = None,
+    constraints_path: str | None = None,
+    invert_landmarks: bool = True,
+    masks_path: str | None = None,
+    average_spacing: float | None = None,
+    skip_existing: bool = False,
+    limit: int | None = None,
+    verbose: bool = True,
+):
+    """Full pipeline: extract -> match -> register [-> average]
+    (FROG.py main flow)."""
+    files = find_inputs(input_path)
+    if limit:
+        files = files[:limit]
+    if verbose:
+        print(f"{len(files)} input files")
+    out_dir = output_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+    masks = find_inputs(masks_path) if masks_path else None
+
+    t0 = time.time()
+    keypoint_files = extract_stage(
+        files, surf, out_dir, masks=masks, skip_existing=skip_existing,
+        verbose=verbose,
+    )
+    with open(os.path.join(out_dir, "volumes.txt"), "w") as f:
+        f.write("\n".join(keypoint_files))
+    t1 = time.time()
+    graph = match_stage(
+        keypoint_files,
+        match_params,
+        out_file=os.path.join(out_dir, "pairs.bin"),
+        n_points=surf.n_points,
+        skip_existing=skip_existing,
+        verbose=verbose,
+    )
+    t2 = time.time()
+    landmarks = (
+        load_landmark_dir(landmarks_path, invert_landmarks)
+        if landmarks_path
+        else None
+    )
+    constraints = (
+        load_landmark_dir(constraints_path, invert_landmarks)
+        if constraints_path
+        else None
+    )
+    reg = register_stage(
+        graph, config, landmarks=landmarks, constraints=constraints,
+        output_dir=out_dir,
+    )
+    t3 = time.time()
+    if verbose:
+        print(
+            f"timings: extract {t1 - t0:.1f}s, match {t2 - t1:.1f}s,"
+            f" register {t3 - t2:.1f}s"
+        )
+    if average_spacing:
+        volume_files = [f for f in files if not f.endswith(".csv.gz")]
+        average_stage(volume_files, average_spacing, out_dir=out_dir, verbose=verbose)
+    return reg
+
+
+def register_one(
+    volume: str,
+    group_dir: str,
+    surf: SurfParams = SurfParams(),
+    match_params: MatchParams = MatchParams(max_distance=1e10, second_ratio=1.0),
+    config: GroupConfig | None = None,
+    output_dir: str | None = None,
+    verbose: bool = True,
+):
+    """Register one new volume against a frozen group
+    (tools/register.py:55-95)."""
+    group_points = sorted(
+        os.path.join(group_dir, f)
+        for f in os.listdir(group_dir)
+        if f.startswith("points") and f.endswith(".csv.gz")
+    )
+    n_fixed = len(group_points)
+    out_dir = output_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+    new_points = extract_stage([volume], surf, out_dir, verbose=verbose)
+    all_points = group_points + new_points
+    graph = match_stage(
+        all_points,
+        match_params,
+        out_file=os.path.join(out_dir, "pairs.bin"),
+        n_points=surf.n_points,
+        target=n_fixed,
+        verbose=verbose,
+    )
+    cfg = config or GroupConfig()
+    cfg = dataclasses.replace(
+        cfg, n_fixed=n_fixed, single_file_transforms=True
+    )
+    return register_stage(
+        graph,
+        cfg,
+        fixed_transforms_dir=os.path.join(group_dir, "transforms"),
+        output_dir=out_dir,
+    )

@@ -95,6 +95,7 @@ class GroupRegistration:
             hard_constraints=bool(constraint_landmarks),
         )
         self.movable = jnp.asarray(self.meta.movable)
+        self._lm_device = self._build_landmark_indices()
         self.measures: list[Measure] = []
         self.stats_record: dict = {}
         # Host-side chains (one per image); fixed images keep their loaded
@@ -174,6 +175,55 @@ class GroupRegistration:
         self.arrays = dataclasses.replace(self.arrays, em=em)
 
     # ------------------------------------------------------------- measurement
+
+    def _build_landmark_indices(self):
+        """Device-side landmark index arrays for in-scan stat computation."""
+        if not self.meta.landmarks:
+            return None
+        p = self.arrays.points_per_image
+        flat = []
+        seg = []
+        for g, (name, entries) in enumerate(sorted(self.meta.landmarks.items())):
+            for img, pt in entries:
+                flat.append(img * p + pt)
+                seg.append(g)
+        if not flat:
+            return None
+        return (
+            jnp.asarray(flat, jnp.int32),
+            jnp.asarray(seg, jnp.int32),
+            len(self.meta.landmarks),
+        )
+
+    def _record_chunk(self, es, stats, flags=None):
+        """Record per-iteration measures from a chunk's device outputs."""
+        es = np.asarray(es)
+        stats = np.asarray(stats)
+        n = len(es)
+        if flags is not None:
+            n = int(np.asarray(flags).sum())
+        for k in range(n):
+            e = float(es[k])
+            if np.isnan(e):
+                raise FloatingPointError(
+                    "energy is NaN (imageGroup.cxx:1233-1236)"
+                )
+            m = Measure(E=e)
+            if self._lm_device is not None:
+                m.landmark_av = float(stats[k, 0])
+                m.landmark_max = float(stats[k, 1])
+                m.landmark_std = float(stats[k, 2])
+            self.measures.append(m)
+        if self.config.verbose and n:
+            m = self.measures[-1]
+            msg = f"E = {m.E:.6g}"
+            if self._lm_device is not None:
+                msg += (
+                    f", landmarks: max={m.landmark_max:.4g}"
+                    f", average={m.landmark_av:.4g}, stdev={m.landmark_std:.4g}"
+                )
+            print(msg)
+        return n
 
     def _landmark_stats(self):
         if not self.meta.landmarks:
@@ -278,13 +328,23 @@ class GroupRegistration:
         else:
             if cfg.verbose:
                 print("Linear registration")
-            for it in range(cfg.linear_iterations):
-                if it % cfg.stat_interval == 0:
-                    self._update_stats()
-                affine, e = self._linear_step()
-                self.arrays = dataclasses.replace(self.arrays, affine=affine)
-                self.arrays = self._transform_affine(self.arrays)
-                self._record_measure(float(e))
+            it = 0
+            while it < cfg.linear_iterations:
+                self._update_stats()
+                k = min(cfg.stat_interval, cfg.linear_iterations - it)
+                affine, xyz2, es, stats = _jit_linear_chunk(
+                    self.arrays,
+                    self.movable,
+                    jnp.float32(cfg.linear_alpha),
+                    cfg.use_scale,
+                    k,
+                    self._lm_device,
+                )
+                self.arrays = dataclasses.replace(
+                    self.arrays, affine=affine, xyz2=xyz2
+                )
+                self._record_chunk(es, stats)
+                it += k
 
         # Bake the linear stage and snapshot the chains.
         self._bake()
@@ -334,34 +394,48 @@ class GroupRegistration:
         coeffs = jnp.zeros((n, *dims, 3), jnp.float32)
         origin_d = jnp.asarray(origin, jnp.float32)
         spacing_d = jnp.asarray(spacing, jnp.float32)
+        limit = jnp.asarray(
+            cfg.max_displacement_ratio * np.asarray(spacing), jnp.float32
+        )
         constraint_weight = n * cfg.landmarks_constraint_weight
         subtract_mean = cfg.n_fixed == 0
         alpha = cfg.deformable_alpha
         n_grids = 1
         n_diffeo_iters = 0
 
+        # The separable B-spline basis depends only on the *baked*
+        # positions: computed once per grid instantiation, reused by every
+        # iteration's scatter and transform (TPU: pure matmuls after this).
+        basis = _jit_basis(origin_d, spacing_d, dims, self.arrays.xyz)
         # xyz2 = xyz under the fresh zero grid.
         self.arrays = dataclasses.replace(self.arrays, xyz2=self.arrays.xyz)
 
         it = 0
         while it < cfg.deformable_iterations:
-            if it % cfg.stat_interval == 0:
-                self._update_stats()
-            candidate, n_big, e = _jit_deformable_update(
+            self._update_stats()
+            k = min(cfg.stat_interval, cfg.deformable_iterations - it)
+            new_coeffs, xyz2, es, flags, stats = _jit_deformable_chunk(
                 self.arrays,
                 self.movable,
                 coeffs,
-                origin_d,
-                spacing_d,
+                basis,
+                limit,
                 jnp.float32(alpha),
                 cfg.inlier_threshold,
                 constraint_weight,
-                cfg.max_displacement_ratio,
                 subtract_mean,
+                cfg.guarantee_diffeomorphism,
+                k,
+                self._lm_device,
             )
-            if cfg.guarantee_diffeomorphism and int(n_big) > 0:
-                # Reject: bake current grid, stack a fresh one, retry
-                # (imageGroup.cxx:97-115).
+            n_done = self._record_chunk(es, stats, flags)
+            coeffs = new_coeffs
+            self.arrays = dataclasses.replace(self.arrays, xyz2=xyz2)
+            it += n_done
+            n_diffeo_iters += n_done
+            if n_done < k:
+                # An iteration tripped the guard: bake the grid as-is,
+                # stack a fresh one, retry (imageGroup.cxx:97-115).
                 if n_diffeo_iters == 0:
                     alpha /= 2
                     if cfg.verbose:
@@ -374,23 +448,16 @@ class GroupRegistration:
                     )
                 n_grids += 1
                 self._freeze_grid(coeffs, origin, spacing)
-                self._bake_bspline(coeffs, origin_d, spacing_d)
+                self._bake_bspline(coeffs, basis)
+                basis = _jit_basis(origin_d, spacing_d, dims, self.arrays.xyz)
                 coeffs = jnp.zeros((n, *dims, 3), jnp.float32)
-                self.arrays = dataclasses.replace(self.arrays, xyz2=self.arrays.xyz)
+                self.arrays = dataclasses.replace(
+                    self.arrays, xyz2=self.arrays.xyz
+                )
                 n_diffeo_iters = 0
-                continue
-
-            coeffs = candidate
-            n_diffeo_iters += 1
-            xyz2 = kernels.transform_points_bspline(
-                coeffs, origin_d, spacing_d, self.arrays.xyz
-            )
-            self.arrays = dataclasses.replace(self.arrays, xyz2=xyz2)
-            self._record_measure(float(e))
-            it += 1
 
         self._freeze_grid(coeffs, origin, spacing)
-        self._bake_bspline(coeffs, origin_d, spacing_d)
+        self._bake_bspline(coeffs, basis)
         if self.config.verbose:
             print(f"Number of grids for this level: {n_grids}")
         self._last_level_geometry = (dims, origin, spacing)
@@ -412,10 +479,8 @@ class GroupRegistration:
     def _bake(self):
         self.arrays = dataclasses.replace(self.arrays, xyz=self.arrays.xyz2)
 
-    def _bake_bspline(self, coeffs, origin_d, spacing_d):
-        xyz2 = kernels.transform_points_bspline(
-            coeffs, origin_d, spacing_d, self.arrays.xyz
-        )
+    def _bake_bspline(self, coeffs, basis):
+        xyz2 = _jit_apply_sep(coeffs, basis, self.arrays.xyz)
         self.arrays = dataclasses.replace(self.arrays, xyz=xyz2, xyz2=xyz2)
 
     def _freeze_grid(self, coeffs, origin, spacing):
@@ -448,28 +513,120 @@ def _jit_linear_update(arrays, movable, alpha, use_scale):
     return kernels.linear_update(arrays, movable, alpha, use_scale)
 
 
+@partial(jax.jit, static_argnames=("use_scale", "n_steps", "lm_n"))
+def _jit_linear_chunk_impl(arrays, movable, alpha, use_scale, n_steps, lm_flat, lm_seg, lm_n):
+    lm = None if lm_flat is None else (lm_flat, lm_seg, lm_n)
+    return kernels.linear_chunk(arrays, movable, alpha, use_scale, n_steps, lm)
+
+
+def _jit_linear_chunk(arrays, movable, alpha, use_scale, n_steps, lm):
+    if lm is None:
+        return _jit_linear_chunk_impl(
+            arrays, movable, alpha, use_scale, n_steps, None, None, 0
+        )
+    return _jit_linear_chunk_impl(
+        arrays, movable, alpha, use_scale, n_steps, lm[0], lm[1], lm[2]
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("subtract_mean", "guarantee", "n_steps", "lm_n"),
+)
+def _jit_deformable_chunk_impl(
+    arrays,
+    movable,
+    coeffs,
+    basis,
+    limit,
+    alpha,
+    inlier_threshold,
+    constraint_weight,
+    subtract_mean,
+    guarantee,
+    n_steps,
+    lm_flat,
+    lm_seg,
+    lm_n,
+):
+    lm = None if lm_flat is None else (lm_flat, lm_seg, lm_n)
+    return kernels.deformable_chunk(
+        arrays,
+        movable,
+        coeffs,
+        basis,
+        limit,
+        alpha,
+        inlier_threshold,
+        constraint_weight,
+        subtract_mean,
+        guarantee,
+        n_steps,
+        lm,
+    )
+
+
+def _jit_deformable_chunk(
+    arrays,
+    movable,
+    coeffs,
+    basis,
+    limit,
+    alpha,
+    inlier_threshold,
+    constraint_weight,
+    subtract_mean,
+    guarantee,
+    n_steps,
+    lm,
+):
+    lm_flat, lm_seg, lm_n = (None, None, 0) if lm is None else lm
+    return _jit_deformable_chunk_impl(
+        arrays,
+        movable,
+        coeffs,
+        basis,
+        limit,
+        alpha,
+        inlier_threshold,
+        constraint_weight,
+        subtract_mean,
+        guarantee,
+        n_steps,
+        lm_flat,
+        lm_seg,
+        lm_n,
+    )
+
+
+@partial(jax.jit, static_argnames=("dims",))
+def _jit_basis(origin, spacing, dims, xyz):
+    return kernels.bspline_basis(origin, spacing, dims, xyz)
+
+
+_jit_apply_sep = jax.jit(kernels.bspline_apply_sep)
+
+
 @partial(jax.jit, static_argnames=("subtract_mean",))
 def _jit_deformable_update(
     arrays,
     movable,
     coeffs,
-    origin,
-    spacing,
+    basis,
+    limit,
     alpha,
     inlier_threshold,
     constraint_weight,
-    max_displacement_ratio,
     subtract_mean,
 ):
     return kernels.deformable_update(
         arrays,
         movable,
         coeffs,
-        origin,
-        spacing,
+        basis,
+        limit,
         alpha,
         inlier_threshold,
         constraint_weight,
-        max_displacement_ratio,
         subtract_mean,
     )

@@ -7,13 +7,29 @@ padded ``GroupArrays``:
 * the linear similarity update (reference updateLinearTransforms,
   imageGroup.cxx:1063-1149)
 * the deformable B-spline grid update (reference
-  updateDeformableTransforms, imageGroup.cxx:234-472): per-point weighted
-  displacement -> 64-tap B-spline scatter -> coefficient step ->
-  cross-image mean subtraction -> diffeomorphism-guard count
+  updateDeformableTransforms, imageGroup.cxx:234-472)
+
+TPU-first design notes (profiled on a v5e chip):
+
+* XLA scatter/gather is the enemy.  The B-spline 64-tap evaluate and
+  scatter are reformulated as **separable basis matmuls**: per level we
+  build per-axis banded basis matrices E_ax (N, P, D_ax) (four non-zeros
+  per row — the cubic B-spline weights, zero outside the grid which
+  reproduces the zero-border mode), then
+      displacement = G1 @ coeffs-contraction,   G1 = Ex (x) Ey flattened,
+      grid gradient = G1^T-style contraction of point values,
+  i.e. two batched MXU matmuls each — no gather, no scatter.  The basis
+  depends only on the *baked* positions, so it is computed once per grid
+  instantiation, not per iteration.
+* Link -> point reductions use the static link ordering: links are sorted
+  by source point at build time, so a segment sum is a cumsum plus a
+  static boundary gather (``segment_sum_sorted``) — no scatter.
+* The EM-parameter lookup for link destinations is a one-hot matmul over
+  the (small) image axis instead of a row gather.
 
 The per-image OpenMP loops of the reference become the leading array axis;
 the cross-image reductions (energy sums, grid mean) become plain ``sum``
-over that axis — or ``psum`` when the axis is sharded over a device mesh.
+over that axis — or all-reduces when the axis is sharded over a mesh.
 """
 from __future__ import annotations
 
@@ -26,10 +42,15 @@ from .stats import inlier_probability
 __all__ = [
     "transform_points_affine",
     "transform_points_bspline",
+    "bspline_basis",
+    "bspline_apply_sep",
     "link_geometry",
     "linear_update",
     "deformable_update",
+    "segment_sum_sorted",
 ]
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def transform_points_affine(affine, xyz):
@@ -40,14 +61,87 @@ def transform_points_affine(affine, xyz):
 
 
 def transform_points_bspline(coeffs, origin, spacing, xyz):
-    """xyz2[i] = xyz[i] + B_i(xyz[i]); coeffs (N, Dx, Dy, Dz, 3), shared
-    origin/spacing (the per-level grid geometry is common to all images,
-    imageGroup.cxx:194-216)."""
+    """Gather-based evaluation (kept for cases without a precomputed
+    basis); coeffs (N, Dx, Dy, Dz, 3)."""
     disp = jax.vmap(lambda c, p: bspline_displacement(c, origin, spacing, p))(
         coeffs, xyz
     )
     return xyz + disp
 
+
+# --------------------------------------------------------------- separable
+
+def bspline_basis(origin, spacing, dims, pos):
+    """Per-axis banded B-spline basis matrices for points ``pos`` (N,P,3).
+
+    Returns (G1, Ez) with Ez (N, P, Dz) and G1 (N, P, Dx*Dy) — the
+    flattened outer product of the x and y bases.  Rows corresponding to
+    out-of-grid support simply lose those taps (zero border mode,
+    imageGroup.cxx:205).
+    """
+    u = (pos - origin) / spacing  # (N, P, 3)
+    iu = jnp.floor(u)
+    base = iu.astype(jnp.int32) - 1
+    w = bspline_weights(u - iu)  # (N, P, 3, 4)
+
+    def axis_matrix(ax, d):
+        cols = jnp.arange(d, dtype=jnp.int32)  # (D,)
+        rel = cols[None, None, :] - base[:, :, ax, None]  # (N, P, D)
+        e = jnp.zeros(rel.shape, jnp.float32)
+        for a in range(4):
+            e = jnp.where(rel == a, w[:, :, ax, a, None], e)
+        return e
+
+    ex = axis_matrix(0, dims[0])
+    ey = axis_matrix(1, dims[1])
+    ez = axis_matrix(2, dims[2])
+    g1 = (ex[:, :, :, None] * ey[:, :, None, :]).reshape(
+        ex.shape[0], ex.shape[1], dims[0] * dims[1]
+    )
+    return g1, ez
+
+
+def bspline_apply_sep(coeffs, basis, xyz):
+    """xyz + displacement via the separable basis.  coeffs (N,Dx,Dy,Dz,3)."""
+    g1, ez = basis
+    n, dx, dy, dz, _ = coeffs.shape
+    c = coeffs.reshape(n, dx * dy, dz * 3)
+    # (N, P, Dx*Dy) x (N, Dx*Dy, Dz*3) -> (N, P, Dz*3): MXU batched matmul
+    t = jnp.einsum("npq,nqc->npc", g1, c, precision=_HI)
+    t = t.reshape(n, g1.shape[1], dz, 3)
+    disp = jnp.einsum("npz,npzc->npc", ez, t, precision=_HI)
+    return xyz + disp
+
+
+def _bspline_scatter_sep(basis, vals):
+    """Transpose of the evaluation: accumulate per-point ``vals`` (N,P,C)
+    into the control grid, B-spline weighted.  Returns (N, Dx*Dy, Dz, C)."""
+    g1, ez = basis
+    vz = jnp.einsum("npz,npc->npzc", ez, vals, precision=_HI)
+    n, p, dz, c = vz.shape
+    # contract the (large) point axis on the MXU
+    out = jnp.einsum("npq,npx->nqx", g1, vz.reshape(n, p, dz * c), precision=_HI)
+    return out.reshape(n, g1.shape[2], dz, c)
+
+
+def segment_sum_sorted(vals, boundaries):
+    """Segment sum for values already sorted by segment id.
+
+    vals (N, L, C); boundaries (N, P+1) with boundaries[i, p] = first link
+    index of segment p (static, from build_group_state).  Returns (N,P,C).
+    Implemented as cumsum + boundary differences — no scatter.
+    """
+    c = jnp.cumsum(vals.astype(jnp.float32), axis=1)
+    zeros = jnp.zeros_like(c[:, :1])
+    padded = jnp.concatenate([zeros, c], axis=1)  # (N, L+1, C)
+    idx = boundaries[..., None]
+    if vals.ndim == 3:
+        idx = jnp.broadcast_to(idx, (*boundaries.shape, vals.shape[-1]))
+    picked = jnp.take_along_axis(padded, idx, axis=1)  # (N, P+1, C)
+    return picked[:, 1:] - picked[:, :-1]
+
+
+# ------------------------------------------------------------------- links
 
 def _gather_dst(xyz2, link_dst):
     """Destination positions for flattened links (N, L) -> (N, L, 3)."""
@@ -60,7 +154,7 @@ def link_geometry(arrays):
     """Per-half-link source/destination positions, difference and distance.
 
     Returns (pA (N,L,3), diff (N,L,3), dist (N,L)); invalid links produce
-    dist 0 against position 0 — callers must mask with ``link_valid``.
+    garbage — callers must mask with ``link_valid``.
     """
     xyz2 = arrays.xyz2
     pA = jnp.take_along_axis(xyz2, arrays.link_src[..., None], axis=1)
@@ -72,11 +166,16 @@ def link_geometry(arrays):
 
 def link_weights(arrays, dist):
     """w = min(P_inlier^A(d), P_inlier^B(d)) per half-link
-    (imageGroup.cxx:1098-1100); 0 on padding."""
+    (imageGroup.cxx:1098-1100); 0 on padding.
+
+    The destination image's EM parameters are fetched with a one-hot
+    matmul over the (small) image axis — a gather-free lane-friendly op.
+    """
     n, p, _ = arrays.xyz2.shape
     prob_a = inlier_probability(dist, arrays.em[:, None, :])
-    dst_img = arrays.link_dst // p
-    em_b = arrays.em[dst_img]  # (N, L, 3)
+    dst_img = arrays.link_dst // p  # (N, L)
+    onehot = jax.nn.one_hot(dst_img, n, dtype=jnp.float32)
+    em_b = jnp.einsum("nlm,mc->nlc", onehot, arrays.em, precision=_HI)
     prob_b = inlier_probability(dist, em_b)
     w = jnp.minimum(prob_a, prob_b)
     return jnp.where(arrays.link_valid, w, 0.0)
@@ -87,7 +186,7 @@ def linear_update(arrays, movable, alpha: float, use_scale: bool):
 
     Faithful to imageGroup.cxx:1063-1149: per image, weighted first/second
     moments of source/destination positions over all half-links give a
-    closed-form per-axis scale factor ``((var_B / var_A))^(alpha/2)`` and a
+    closed-form per-axis scale factor ``(var_B / var_A)^(alpha/2)`` and a
     translation step ``alpha * mean_disp + mean_posA * (1 - newScale)``.
 
     Returns (new_affine (N,4,4), E) with E = sqrt(sum w^2 d^2 / sum w^2)
@@ -131,49 +230,15 @@ def linear_update(arrays, movable, alpha: float, use_scale: bool):
     return affine, e
 
 
-def _scatter_taps(origin, spacing, dims, pos):
-    """B-spline scatter support for points (P, 3): flat control indices
-    (P, 64) into a grid of ``dims`` and tap weights (P, 64).  Out-of-grid
-    taps get weight 0 (zero border mode)."""
-    u = (pos - origin) / spacing
-    iu = jnp.floor(u)
-    base = iu.astype(jnp.int32) - 1  # (P, 3)
-    w = bspline_weights(u - iu)  # (P, 3, 4)
-
-    offs = jnp.arange(4, dtype=jnp.int32)
-    ix = base[:, 0:1] + offs
-    iy = base[:, 1:2] + offs
-    iz = base[:, 2:3] + offs
-    vx = (ix >= 0) & (ix < dims[0])
-    vy = (iy >= 0) & (iy < dims[1])
-    vz = (iz >= 0) & (iz < dims[2])
-    wx = jnp.where(vx, w[:, 0, :], 0.0)
-    wy = jnp.where(vy, w[:, 1, :], 0.0)
-    wz = jnp.where(vz, w[:, 2, :], 0.0)
-    cx = jnp.clip(ix, 0, dims[0] - 1)
-    cy = jnp.clip(iy, 0, dims[1] - 1)
-    cz = jnp.clip(iz, 0, dims[2] - 1)
-
-    tap_w = (
-        wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
-    ).reshape(-1, 64)
-    flat_idx = (
-        (cx[:, :, None, None] * dims[1] + cy[:, None, :, None]) * dims[2]
-        + cz[:, None, None, :]
-    ).reshape(-1, 64)
-    return flat_idx, tap_w
-
-
 def deformable_update(
     arrays,
     movable,
     coeffs,  # (N, Dx, Dy, Dz, 3)
-    origin,
-    spacing,
-    alpha: float,
+    basis,  # from bspline_basis(origin, spacing, dims, arrays.xyz)
+    limit,  # (3,) = max_displacement_ratio * spacing
+    alpha,
     inlier_threshold: float,
     constraint_weight: float,
-    max_displacement_ratio: float,
     subtract_mean: bool,
 ):
     """One deformable iteration: candidate coefficients + diffeo guard.
@@ -184,9 +249,7 @@ def deformable_update(
     off) — the reference's "return -1, discard gradient buffer" control
     flow stays on the host.
     """
-    n, p, _ = arrays.xyz2.shape
-    dims = coeffs.shape[1:4]
-    g = dims[0] * dims[1] * dims[2]
+    n, dx, dy, dz, _ = coeffs.shape
 
     pA, diff, dist = link_geometry(arrays)
     w = link_weights(arrays, dist)
@@ -197,15 +260,9 @@ def deformable_update(
     s_dist = jnp.sum(mov * jnp.sum(w2 * dist * dist, axis=1))
     s_weight_tot = jnp.sum(mov * jnp.sum(w2, axis=1))
 
-    # links -> points (segment-sum by source point)
-    def per_image_point_sums(src, vals, weights):
-        disp = jax.ops.segment_sum(vals, src, num_segments=p)
-        wsum = jax.ops.segment_sum(weights, src, num_segments=p)
-        return disp, wsum
-
-    s_disp, s_weight = jax.vmap(per_image_point_sums)(
-        arrays.link_src, w2[..., None] * diff, w2
-    )
+    # links -> points: cumsum + static sorted boundaries (no scatter)
+    payload = jnp.concatenate([w2[..., None] * diff, w2[..., None]], axis=-1)
+    sums = segment_sum_sorted(payload, arrays.link_bnd)  # (N, P, 4)
 
     # hard landmark constraints (imageGroup.cxx:282-297)
     hw2 = jnp.where(arrays.hard_valid, constraint_weight * constraint_weight, 0.0)
@@ -215,31 +272,21 @@ def deformable_update(
     hdist2 = jnp.sum(hdiff * hdiff, axis=-1)
     s_dist = s_dist + jnp.sum(mov * jnp.sum(hw2 * hdist2, axis=1))
     s_weight_tot = s_weight_tot + jnp.sum(mov * jnp.sum(hw2, axis=1))
-    hd, hw = jax.vmap(per_image_point_sums)(
-        arrays.hard_src, hw2[..., None] * hdiff, hw2
-    )
-    s_disp = s_disp + hd
-    s_weight = s_weight + hw
+    hpayload = jnp.concatenate([hw2[..., None] * hdiff, hw2[..., None]], axis=-1)
+    sums = sums + segment_sum_sorted(hpayload, arrays.hard_bnd)
 
-    # points -> grid (B-spline 64-tap scatter at the *baked* positions,
-    # imageGroup.cxx:301-338)
-    def per_image_scatter(pos, disp, wsum):
-        flat_idx, tap_w = _scatter_taps(origin, spacing, dims, pos)
-        active = (wsum > 0)[:, None]
-        tap_w = jnp.where(active, tap_w, 0.0)
-        vals = tap_w[..., None] * disp[:, None, :]  # (P, 64, 3)
-        wvals = tap_w * wsum[:, None]  # (P, 64)
-        grad = jax.ops.segment_sum(
-            vals.reshape(-1, 3), flat_idx.reshape(-1), num_segments=g
-        )
-        gw = jax.ops.segment_sum(
-            wvals.reshape(-1), flat_idx.reshape(-1), num_segments=g
-        )
-        return grad, gw
+    s_disp = sums[..., :3]
+    s_weight = sums[..., 3]
 
-    grad, gw = jax.vmap(per_image_scatter)(arrays.xyz, s_disp, s_weight)
+    # points -> grid: separable-basis transpose matmul at the *baked*
+    # positions (imageGroup.cxx:301-338)
+    active = (s_weight > 0)[..., None]
+    vals = jnp.where(active, sums, 0.0)  # (N, P, 4)
+    grid = _bspline_scatter_sep(basis, vals)  # (N, Dx*Dy, Dz, 4)
+    grad = grid[..., :3].reshape(n, dx * dy * dz, 3)
+    gw = grid[..., 3].reshape(n, dx * dy * dz)
 
-    flat_coeffs = coeffs.reshape(n, g, 3)
+    flat_coeffs = coeffs.reshape(n, dx * dy * dz, 3)
     stepped = jnp.where(
         (gw > 0)[..., None],
         flat_coeffs + alpha * grad / jnp.maximum(gw, 1e-30)[..., None],
@@ -248,17 +295,123 @@ def deformable_update(
     stepped = jnp.where(movable[:, None, None], stepped, flat_coeffs)
 
     # cross-image mean subtraction — the hubless centering barrier
-    # (imageGroup.cxx:379-432).  Applied only without fixed images; the
-    # divisor is the total image count, as in the reference (:417).
+    # (imageGroup.cxx:379-432); divisor is the total image count (:417).
     if subtract_mean:
         mean = jnp.sum(jnp.where(movable[:, None, None], stepped, 0.0), axis=0) / n
         stepped = jnp.where(movable[:, None, None], stepped - mean, stepped)
 
     # diffeomorphism guard: per-axis |coeff| > ratio * spacing[axis]
-    limit = max_displacement_ratio * spacing  # (3,)
     big = jnp.abs(stepped) > limit
     n_big = jnp.sum(jnp.where(movable[:, None, None], big, False))
 
     candidate = stepped.reshape(coeffs.shape)
     e = jnp.sqrt(s_dist / jnp.maximum(s_weight_tot, 1e-30))
     return candidate, n_big, e
+
+
+# ---------------------------------------------------------- chunked loops
+#
+# The optimizer runs on a possibly *remote* TPU where every host<->device
+# synchronization costs a network round trip.  Instead of dispatching one
+# iteration at a time (reference control flow), a whole stat-interval of
+# iterations runs as one lax.scan, returning per-iteration energies,
+# landmark statistics (computed on device) and — for the deformable stage —
+# a per-step success flag so the host can reproduce the stacked-grid retry
+# logic exactly: once an iteration trips the diffeomorphism guard, the scan
+# stops updating state, so the returned state is the state at the reject.
+
+import dataclasses as _dc
+
+
+def landmark_device_stats(xyz2, lm_flat, lm_seg, n_names):
+    """Mean/max/std of landmark distance-to-centroid, on device.
+
+    lm_flat (M,) flattened (image * P + point) indices; lm_seg (M,) name
+    ids sorted ascending; n_names static (imageGroup.cxx:1229-1282).
+    """
+    n, p, _ = xyz2.shape
+    pos = xyz2.reshape(n * p, 3)[lm_flat]  # (M, 3)
+    onehot = jax.nn.one_hot(lm_seg, n_names, dtype=jnp.float32)  # (M, G)
+    counts = jnp.maximum(onehot.sum(axis=0), 1.0)  # (G,)
+    centroids = jnp.einsum("mg,mc->gc", onehot, pos, precision=_HI) / counts[:, None]
+    d = jnp.linalg.norm(pos - centroids[lm_seg], axis=1)  # (M,)
+    mean = jnp.mean(d)
+    mx = jnp.max(d)
+    std = jnp.sqrt(jnp.maximum(jnp.mean(d * d) - mean * mean, 0.0))
+    return jnp.stack([mean, mx, std])
+
+
+def linear_chunk(arrays, movable, alpha, use_scale, n_steps, lm=None):
+    """Run ``n_steps`` linear iterations in one dispatch.
+
+    Returns (affine, xyz2, es (K,), lm_stats (K,3))."""
+
+    def body(carry, _):
+        affine, xyz2 = carry
+        a = _dc.replace(arrays, affine=affine, xyz2=xyz2)
+        new_affine, e = linear_update(a, movable, alpha, use_scale)
+        new_xyz2 = transform_points_affine(new_affine, arrays.xyz)
+        if lm is not None:
+            stats = landmark_device_stats(new_xyz2, *lm)
+        else:
+            stats = jnp.zeros(3)
+        return (new_affine, new_xyz2), (e, stats)
+
+    (affine, xyz2), (es, stats) = jax.lax.scan(
+        body, (arrays.affine, arrays.xyz2), None, length=n_steps
+    )
+    return affine, xyz2, es, stats
+
+
+def deformable_chunk(
+    arrays,
+    movable,
+    coeffs,
+    basis,
+    limit,
+    alpha,
+    inlier_threshold,
+    constraint_weight,
+    subtract_mean,
+    guarantee,
+    n_steps,
+    lm=None,
+):
+    """Run up to ``n_steps`` deformable iterations in one dispatch.
+
+    Returns (coeffs, xyz2, es (K,), ok_flags (K,), lm_stats (K,3)).
+    ok_flags[i] False means iteration i tripped the diffeomorphism guard;
+    state reflects everything before that iteration (the reject discards
+    its update, imageGroup.cxx:97-115), and later steps are no-ops.
+    """
+
+    def body(carry, _):
+        coeffs, xyz2, dead = carry
+        a = _dc.replace(arrays, xyz2=xyz2)
+        cand, n_big, e = deformable_update(
+            a,
+            movable,
+            coeffs,
+            basis,
+            limit,
+            alpha,
+            inlier_threshold,
+            constraint_weight,
+            subtract_mean,
+        )
+        ok = (n_big == 0) if guarantee else jnp.bool_(True)
+        step_ok = ok & ~dead
+        new_coeffs = jnp.where(step_ok, cand, coeffs)
+        new_xyz2 = jnp.where(
+            step_ok, bspline_apply_sep(new_coeffs, basis, arrays.xyz), xyz2
+        )
+        if lm is not None:
+            stats = landmark_device_stats(new_xyz2, *lm)
+        else:
+            stats = jnp.zeros(3)
+        return (new_coeffs, new_xyz2, dead | ~ok), (e, step_ok, stats)
+
+    (coeffs, xyz2, _), (es, flags, stats) = jax.lax.scan(
+        body, (coeffs, arrays.xyz2, jnp.bool_(False)), None, length=n_steps
+    )
+    return coeffs, xyz2, es, flags, stats

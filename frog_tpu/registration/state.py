@@ -46,12 +46,14 @@ class GroupArrays:
     xyz: jax.Array  # (N, P, 3) f32
     xyz2: jax.Array  # (N, P, 3) f32
     point_valid: jax.Array  # (N, P) bool
-    link_src: jax.Array  # (N, L) i32
+    link_src: jax.Array  # (N, L) i32, sorted ascending per image
     link_dst: jax.Array  # (N, L) i32, flattened img*P + pt
     link_valid: jax.Array  # (N, L) bool
-    hard_src: jax.Array  # (N, H) i32
+    link_bnd: jax.Array  # (N, P+1) i32 segment boundaries into link_src
+    hard_src: jax.Array  # (N, H) i32, sorted ascending per image
     hard_dst: jax.Array  # (N, H) i32
     hard_valid: jax.Array  # (N, H) bool
+    hard_bnd: jax.Array  # (N, P+1) i32
     em: jax.Array  # (N, 3) f32
     affine: jax.Array  # (N, 4, 4) f32
 
@@ -136,27 +138,42 @@ def build_group_state(
         )
     counts = [int(sum(b.shape[0] for b in blocks)) for blocks in half]
     l_pad = _round_up(max(max(counts), 1), pad_multiple)
+    # Links are sorted by source point so segment sums can run as cumsum +
+    # static boundary differences (kernels.segment_sum_sorted).  Padding
+    # rows carry src = p_pad - 1 to keep the array sorted; their payloads
+    # are zeroed upstream (link_valid -> weight 0), so the last segment
+    # stays correct.
     link_src = np.zeros((n, l_pad), np.int32)
     link_dst = np.zeros((n, l_pad), np.int32)
     link_valid = np.zeros((n, l_pad), bool)
+    link_bnd = np.zeros((n, p_pad + 1), np.int32)
     for i, blocks in enumerate(half):
         if not blocks:
             continue
         cat = np.concatenate(blocks, axis=0)
+        order = np.argsort(cat[:, 0], kind="stable")
+        cat = cat[order]
         link_src[i, : cat.shape[0]] = cat[:, 0]
+        link_src[i, cat.shape[0] :] = p_pad - 1  # padding sorts last
         link_dst[i, : cat.shape[0]] = cat[:, 1]
         link_valid[i, : cat.shape[0]] = True
+        link_bnd[i] = np.searchsorted(link_src[i], np.arange(p_pad + 1))
 
     h_counts = [len(h) for h in hard_links]
     h_pad = _round_up(max(max(h_counts), 1), 8) if max(h_counts) else 1
     hard_src = np.zeros((n, h_pad), np.int32)
     hard_dst = np.zeros((n, h_pad), np.int32)
     hard_valid = np.zeros((n, h_pad), bool)
+    hard_bnd = np.zeros((n, p_pad + 1), np.int32)
     for i, entries in enumerate(hard_links):
+        entries = sorted(entries)
         for k, (src, dst_img, dst_pt) in enumerate(entries):
             hard_src[i, k] = src
             hard_dst[i, k] = dst_img * p_pad + dst_pt
             hard_valid[i, k] = True
+        if entries:
+            hard_src[i, len(entries) :] = p_pad - 1
+        hard_bnd[i] = np.searchsorted(hard_src[i], np.arange(p_pad + 1))
 
     em = np.tile(np.asarray(EM_INIT, np.float32), (n, 1))
     affine = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
@@ -168,9 +185,11 @@ def build_group_state(
         link_src=jnp.asarray(link_src),
         link_dst=jnp.asarray(link_dst),
         link_valid=jnp.asarray(link_valid),
+        link_bnd=jnp.asarray(link_bnd),
         hard_src=jnp.asarray(hard_src),
         hard_dst=jnp.asarray(hard_dst),
         hard_valid=jnp.asarray(hard_valid),
+        hard_bnd=jnp.asarray(hard_bnd),
         em=jnp.asarray(em),
         affine=jnp.asarray(affine),
     )
