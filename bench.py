@@ -122,11 +122,12 @@ def run_tpu(kps, workdir):
         initial_grid_size=GRID_SIZE,
         verbose=False,
     )
-    # Warm-up run for compile with an identical-shape tiny iteration budget.
+    # Warm-up run for compile: iteration counts of one stat-interval so the
+    # chunked scan kernels compile at the same static chunk length (10).
     warm_cfg = GroupConfig(
-        linear_iterations=1,
+        linear_iterations=10,
         deformable_levels=1,
-        deformable_iterations=1,
+        deformable_iterations=10,
         initial_grid_size=GRID_SIZE,
         verbose=False,
     )

@@ -163,11 +163,22 @@ class GroupRegistration:
 
     def _update_stats(self):
         """EM re-estimation over current link distances
-        (imageGroup.cxx:569-598)."""
+        (imageGroup.cxx:569-598).
+
+        The reference reservoir-subsamples to ``em_max_samples`` distances
+        per image (stats.h:36-76); here a strided subset approximates that
+        when the cap is set, and the default uses every link distance.
+        """
         dist = self._link_distances(self.arrays)
+        valid = self.arrays.link_valid
+        cap = self.config.em_max_samples
+        if cap and dist.shape[1] > cap:
+            stride = -(-dist.shape[1] // cap)
+            dist = dist[:, ::stride]
+            valid = valid[:, ::stride]
         em = estimate_mixture(
             dist,
-            self.arrays.link_valid,
+            valid,
             self.arrays.em,
             max_iterations=self.config.em_max_iterations,
             epsilon=self.config.em_epsilon,

@@ -141,3 +141,72 @@ def save_all(reg, out_dir):
     )
     if reg.config.write_pairs:
         save_pairs_csv(reg, os.path.join(out_dir, "pairs.csv.gz"))
+    save_error_maps(reg, out_dir)
+
+
+def save_error_maps(reg, out_dir):
+    """Per-image residual-displacement voxel maps — saveErrorMaps
+    equivalent (imageGroup.cxx:475-567): on the final level's grid
+    geometry, each keypoint's inlier-weighted mean displacement toward its
+    linked points is binned into its containing cell; the written 4-channel
+    NIfTI holds (mean dx, dy, dz, total weight).
+    """
+    import jax.numpy as jnp
+
+    from ..io.nifti import write_nifti
+    from ..io.volume import Volume
+    from . import kernels
+
+    geom = getattr(reg, "_last_level_geometry", None)
+    if geom is None:
+        return
+    dims, origin, spacing = geom
+    arrays = reg.arrays
+    cfg = reg.config
+    n = arrays.n_images
+
+    # per-point weighted displacement sums (same weighting as the
+    # deformable update)
+    pA, diff, dist = kernels.link_geometry(arrays)
+    w = kernels.link_weights(arrays, dist)
+    w2 = jnp.where(w < cfg.inlier_threshold, 0.0, w * w)
+    payload = jnp.concatenate([w2[..., None] * diff, w2[..., None]], axis=-1)
+    sums = kernels.segment_sum_sorted(payload, arrays.link_bnd)
+    cw = n * cfg.landmarks_constraint_weight
+    hw2 = jnp.where(arrays.hard_valid, cw * cw, 0.0)
+    hA = jnp.take_along_axis(arrays.xyz2, arrays.hard_src[..., None], axis=1)
+    hB = arrays.xyz2.reshape(-1, 3)[arrays.hard_dst]
+    hpayload = jnp.concatenate(
+        [hw2[..., None] * (hB - hA), hw2[..., None]], axis=-1
+    )
+    sums = np.asarray(sums + kernels.segment_sum_sorted(hpayload, arrays.hard_bnd))
+
+    xyz = np.asarray(arrays.xyz)
+    valid = np.asarray(arrays.point_valid)
+    os.makedirs(os.path.join(out_dir, cfg.error_maps_subdirectory), exist_ok=True)
+    for i in range(cfg.n_fixed, n):
+        grid = np.zeros((*dims, 4), np.float32)
+        sel = valid[i] & (sums[i, :, 3] > 0)
+        cells = np.floor((xyz[i][sel] - origin) / spacing).astype(int)
+        inb = np.all((cells >= 0) & (cells < np.asarray(dims)), axis=1)
+        cells = cells[inb]
+        vals = sums[i][sel][inb]
+        np.add.at(grid, (cells[:, 0], cells[:, 1], cells[:, 2]), vals)
+        weight = grid[..., 3:]
+        grid[..., :3] = np.divide(
+            grid[..., :3], weight, out=np.zeros_like(grid[..., :3]),
+            where=weight > 0,
+        )
+        write_nifti(
+            os.path.join(out_dir, cfg.error_maps_subdirectory, f"{i}.nii.gz"),
+            Volume(grid, origin=np.asarray(origin), spacing=np.asarray(spacing)),
+        )
+
+
+def save_individual_histograms(reg, out_dir):
+    """Per-image histogram<i>.csv files (imageGroup.cxx:887-897)."""
+    hist = reg.final_histograms
+    for i in range(hist.shape[0]):
+        with open(os.path.join(out_dir, f"histogram{i}.csv"), "w") as f:
+            for v in hist[i]:
+                f.write(f"{int(v)}\n")
