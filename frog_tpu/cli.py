@@ -167,6 +167,45 @@ def build_parser() -> argparse.ArgumentParser:
     po.add_argument("-t", dest="transform", default=None)
     po.add_argument("-ti", dest="transform_inverse", default=None)
 
+    # ---- rigid (js/lib/LSRegistration.js) and stochastic (J4)
+    ri = sub.add_parser("rigid", help="rigid groupwise (Laplacian solver)")
+    ri.add_argument("input", help="keypoint files dir or list")
+    ri.add_argument("-o", dest="output", default="registration.json")
+    ri.add_argument("-stochastic", action="store_true")
+    ri.add_argument("-batch", type=int, default=50)
+    ri.add_argument("-iterations", type=int, default=200)
+    ri.add_argument("-d", dest="distance", type=float, default=0.3)
+
+    # ---- flip (tools/flip_tool.py): RAS reorientation
+    fl = sub.add_parser("flip", help="reorient a volume to RAS")
+    fl.add_argument("input")
+    fl.add_argument("output")
+    fl.add_argument("-threshold", type=float, default=None)
+
+    # ---- trim (tools/trimTransform.py)
+    tm = sub.add_parser("trim", help="keep first n transform chain entries")
+    tm.add_argument("input")
+    tm.add_argument("n", type=int)
+    tm.add_argument("-o", dest="output", default="output.json")
+
+    # ---- QA volumes (tools/checkerBoard.py, grid.py, labelContour.py)
+    qa = sub.add_parser("qa", help="QA volumes: checkerboard/grid/contour")
+    qa.add_argument("kind", choices=["checkerboard", "grid", "contour"])
+    qa.add_argument("input")
+    qa.add_argument("-o", dest="output", default="output.nii.gz")
+
+    # ---- register2 (tools/register2volumes.py)
+    r2 = sub.add_parser("register2", help="pairwise registration of 2 volumes")
+    r2.add_argument("volume1")
+    r2.add_argument("volume2")
+    r2.add_argument("-o", dest="output", default="registered.nii.gz")
+    r2.add_argument("-d", dest="workdir", default=".")
+    r2.add_argument("-s", dest="spacing", type=float, default=0.75)
+    r2.add_argument("-p", dest="n_points", type=int, default=20000)
+    r2.add_argument("-li", dest="linear_iterations", type=int, default=50)
+    r2.add_argument("-dl", dest="deformable_levels", type=int, default=3)
+    r2.add_argument("-di", dest="deformable_iterations", type=int, default=200)
+
     return p
 
 
@@ -248,26 +287,9 @@ def main(argv=None):
         from .ops.matcher import MatchParams
         from .pipeline import match_stage
 
-        if os.path.isdir(args.input):
-            files = sorted(
-                os.path.join(args.input, f)
-                for f in os.listdir(args.input)
-                if f.endswith((".csv", ".csv.gz", ".bin"))
-            )
-        else:
-            # list file: one keypoint path per line, optionally followed by
-            # ,x,y,z rigid offsets (match.cpp:454-493)
-            files = []
-            base = os.path.dirname(args.input)
-            with open(args.input) as fh:
-                for line in fh:
-                    cell = line.split(",")[0].strip()
-                    if not cell:
-                        continue
-                    if cell.startswith("/"):
-                        files.append(cell)
-                    else:
-                        files.append(os.path.join(base, cell))
+        from .pipeline import list_keypoint_files
+
+        files = list_keypoint_files(args.input)
         match_stage(
             files,
             MatchParams(
@@ -425,6 +447,93 @@ def main(argv=None):
             chain, inverse = read_transform(args.transform_inverse), True
         out = transform_points(chain, np.asarray([args.p]), inverse=inverse)
         print(f"{out[0, 0]:.6g} {out[0, 1]:.6g} {out[0, 2]:.6g}")
+    elif cmd == "rigid":
+        import json
+
+        from .io.keypoints import read_keypoints
+        from .rigid import (
+            Match3DParams,
+            RigidGroupParams,
+            StochasticParams,
+            rigid_groupwise,
+            stochastic_rigid,
+        )
+
+        from .pipeline import list_keypoint_files
+
+        files = list_keypoint_files(args.input)
+        kps = [read_keypoints(f) for f in files]
+        group = RigidGroupParams(match=Match3DParams(matching_distance=args.distance))
+        if args.stochastic:
+            result = stochastic_rigid(
+                kps,
+                StochasticParams(
+                    batch_size=args.batch,
+                    max_iterations=args.iterations,
+                    group=group,
+                ),
+                verbose=True,
+            )
+            record = {
+                "positions": result["positions"].ravel().tolist(),
+                "outliers": result["outliers"].tolist(),
+            }
+        else:
+            result = rigid_groupwise(kps, group, verbose=True)
+            record = {
+                "positions": result["positions"].ravel().tolist(),
+                "valences": result["valences"].tolist(),
+                "numberOfEdges": result["numberOfEdges"],
+            }
+        with open(args.output, "w") as fh:
+            json.dump(record, fh)
+        print(f"written {args.output}")
+    elif cmd == "flip":
+        import numpy as np
+
+        from .io.mhd import read_volume, write_volume
+
+        vol = read_volume(args.input, reorient_to_ras=True)
+        if args.threshold is not None:
+            vol.data = np.where(vol.data < args.threshold, 0, vol.data)
+        write_volume(args.output, vol)
+        print(f"written {args.output} (RAS)")
+    elif cmd == "trim":
+        from .tools.qa import trim_transform
+
+        trim_transform(args.input, args.n, args.output)
+        print(f"written {args.output}")
+    elif cmd == "qa":
+        from .io.mhd import read_volume, write_volume
+        from .tools.qa import checkerboard_volume, grid_volume, label_contour
+
+        vol = read_volume(args.input)
+        if args.kind == "checkerboard":
+            out = checkerboard_volume(vol)
+        elif args.kind == "grid":
+            out = grid_volume(vol)
+        else:
+            out = label_contour(vol)
+        write_volume(args.output, out)
+        print(f"written {args.output}")
+    elif cmd == "register2":
+        from .ops.surf3d import SurfParams
+        from .registration import GroupConfig
+        from .tools.qa import register_two_volumes
+
+        register_two_volumes(
+            args.volume1,
+            args.volume2,
+            output=args.output,
+            out_dir=args.workdir,
+            surf=SurfParams(spacing=args.spacing, n_points=args.n_points),
+            config=GroupConfig(
+                linear_iterations=args.linear_iterations,
+                deformable_levels=args.deformable_levels,
+                deformable_iterations=args.deformable_iterations,
+            ),
+        )
+        print(f"written {args.output}")
     return 0
 
 

@@ -79,7 +79,14 @@ def read_keypoints(path, ndesc: int = 48) -> Keypoints:
         ncols = 6 + ndesc
         n = raw.size // ncols
         return Keypoints.from_matrix(raw[: n * ncols].reshape(n, ncols))
-    try:  # fast C parser when available
+    cols = _peek_columns(p)
+    if cols and cols >= 7:
+        from . import native
+
+        mat = native.read_csv_matrix(p, cols)
+        if mat is not None:
+            return Keypoints.from_matrix(mat)
+    try:  # pandas C parser fallback
         import pandas as pd
 
         mat = pd.read_csv(p, header=None, dtype=np.float32).to_numpy()
@@ -107,12 +114,26 @@ def read_keypoints(path, ndesc: int = 48) -> Keypoints:
     return Keypoints.from_matrix(np.asarray(rows, dtype=np.float32))
 
 
+def _peek_columns(path: str) -> int | None:
+    try:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            line = f.readline().strip().rstrip(",")
+        return len(line.split(",")) if line else None
+    except OSError:
+        return None
+
+
 def write_keypoints(path, kp: Keypoints) -> None:
     p = str(path)
     if p.endswith(".bin"):
         kp.to_matrix().tofile(p)
         return
     mat = kp.to_matrix()
+    from . import native
+
+    if native.write_csv_matrix(p, mat):
+        return
     lines = [",".join(_fmt(v) for v in row) for row in mat]
     body = "\n".join(lines) + "\n"
     if p.endswith(".gz"):

@@ -36,6 +36,8 @@ class SurfParams:
     pad: float = 0.0
     n_octaves: int = 3
     subvoxel: bool = True
+    descriptor: str = "surf"  # "surf" (48-float) or "raw" (-type 1)
+    raw_radius: int = 2  # -r: raw subvolume radius in sigma-spaced samples
 
 
 def extract_keypoints(
@@ -92,16 +94,27 @@ def extract_keypoints(
     lap_np = np.asarray(laps)[s_idx, vx, vy, vz]
 
     if len(top_idx):
-        integral = integral_volume(data)
-        desc = np.asarray(
-            descriptors(
-                integral,
-                jnp.asarray(pos, jnp.float32),
-                jnp.asarray(sigma_vox, jnp.float32),
+        if params.descriptor == "raw":
+            desc = np.asarray(
+                _raw_descriptors(
+                    data,
+                    jnp.asarray(pos, jnp.float32),
+                    jnp.asarray(sigma_vox, jnp.float32),
+                    params.raw_radius,
+                )
             )
-        )
+        else:
+            integral = integral_volume(data)
+            desc = np.asarray(
+                descriptors(
+                    integral,
+                    jnp.asarray(pos, jnp.float32),
+                    jnp.asarray(sigma_vox, jnp.float32),
+                )
+            )
     else:
-        desc = np.zeros((0, 48), np.float32)
+        ncols = 48 if params.descriptor != "raw" else (2 * params.raw_radius + 1) ** 3
+        desc = np.zeros((0, ncols), np.float32)
 
     xyz = iso.origin[None, :] + pos * iso.spacing[None, :]
     return Keypoints(
@@ -136,3 +149,27 @@ def _subvoxel_offsets(responses, s_idx, vx, vy, vz):
         )
         out[:, ax] = np.where(ok, np.clip(offset, -0.5, 0.5), 0.0)
     return out
+
+
+def _raw_descriptors(data, positions, sigmas, radius: int):
+    """Raw-subvolume descriptor (surf3d -type 1, frog.json:352-428): a
+    (2r+1)^3 cube of trilinear samples spaced by the keypoint's sigma,
+    zero-mean unit-norm so L2 matching behaves like correlation."""
+    import jax
+    import jax.numpy as jnp
+
+    from .resample import trilinear_sample
+
+    r = radius
+    offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    grid = jnp.stack(jnp.meshgrid(offs, offs, offs, indexing="ij"), -1).reshape(-1, 3)
+
+    @jax.jit
+    def sample(pos, sig):
+        coords = pos[:, None, :] + sig[:, None, None] * grid[None]
+        vals = trilinear_sample(data, coords)  # (K, M)
+        vals = vals - jnp.mean(vals, axis=1, keepdims=True)
+        norm = jnp.sqrt(jnp.sum(vals * vals, axis=1, keepdims=True))
+        return vals / jnp.maximum(norm, 1e-12)
+
+    return sample(positions, sigmas)

@@ -46,6 +46,49 @@ def find_inputs(path: str) -> list:
     return files
 
 
+def list_keypoint_files(path: str) -> list:
+    """Keypoint files from a directory or list file.  Directory scans keep
+    only files whose first line parses as a keypoint row (>= 7 numeric
+    columns), so run artifacts (pairs.bin, measures.csv, ...) are skipped.
+    """
+    if os.path.isdir(path):
+        out = []
+        for f in sorted(os.listdir(path)):
+            full = os.path.join(path, f)
+            if f.endswith(".bin") and f != "pairs.bin":
+                out.append(full)
+            elif f.endswith((".csv", ".csv.gz")):
+                if _looks_like_keypoints(full):
+                    out.append(full)
+        return out
+    files = []
+    base = os.path.dirname(path)
+    with open(path) as fh:
+        for line in fh:
+            cell = line.split(",")[0].strip()
+            if not cell or cell.startswith("#"):
+                continue
+            files.append(cell if cell.startswith("/") else os.path.join(base, cell))
+    return files
+
+
+def _looks_like_keypoints(path: str) -> bool:
+    import gzip
+
+    try:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            line = f.readline().strip().rstrip(",")
+        cells = line.split(",")
+        if len(cells) < 7:
+            return False
+        for c in cells:
+            float(c)
+        return True
+    except (OSError, ValueError):
+        return False
+
+
 def extract_stage(
     files: list,
     surf: SurfParams,

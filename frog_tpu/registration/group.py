@@ -56,6 +56,8 @@ class GroupConfig:
     em_epsilon: float = 1e-6
     em_max_samples: int | None = None
     max_grids_per_level: int = 50
+    checkpoint_path: str | None = None
+    checkpoint_interval: int = 1  # in completed chunks
     transform_subdirectory: str = "transforms"
     error_maps_subdirectory: str = "errorMaps"
     measures_file: str = "measures.csv"
@@ -322,7 +324,35 @@ class GroupRegistration:
 
     # ------------------------------------------------------------------- run
 
-    def run(self):
+    def run(self, resume_from: str | None = None):
+        if resume_from:
+            from .checkpoint import restore_registration
+
+            meta, coeffs = restore_registration(self, resume_from)
+            if meta.get("linear_histograms") is not None:
+                self.linear_histograms = np.asarray(meta["linear_histograms"])
+            if meta["stage"] == "linear":
+                self._run_linear(it0=int(meta["it"]))
+                self._after_linear()
+                self._run_deformable()
+            else:
+                self.grids_per_level = [int(v) for v in meta.get("done_levels", [])]
+                level = int(meta["level"])
+                n = self._run_level(
+                    level,
+                    coeffs0=coeffs,
+                    it0=int(meta["it"]),
+                    alpha0=float(meta["alpha"]),
+                    n_grids0=int(meta["n_grids"]),
+                    n_diffeo0=int(meta["n_diffeo"]),
+                )
+                self.grids_per_level.append(n)
+                for lvl in range(level + 1, self.config.deformable_levels):
+                    self.grids_per_level.append(self._run_level(lvl))
+            return self._finish()
+        return self._run_fresh()
+
+    def _run_fresh(self):
         cfg = self.config
         self._setup_linear_transforms()
         self.arrays = self._transform_affine(self.arrays)
@@ -339,25 +369,36 @@ class GroupRegistration:
         else:
             if cfg.verbose:
                 print("Linear registration")
-            it = 0
-            while it < cfg.linear_iterations:
-                self._update_stats()
-                k = min(cfg.stat_interval, cfg.linear_iterations - it)
-                affine, xyz2, es, stats = _jit_linear_chunk(
-                    self.arrays,
-                    self.movable,
-                    jnp.float32(cfg.linear_alpha),
-                    cfg.use_scale,
-                    k,
-                    self._lm_device,
-                )
-                self.arrays = dataclasses.replace(
-                    self.arrays, affine=affine, xyz2=xyz2
-                )
-                self._record_chunk(es, stats)
-                it += k
+            self._run_linear()
 
+        self._after_linear()
+        self._run_deformable()
+        return self._finish()
+
+    def _run_linear(self, it0: int = 0):
+        cfg = self.config
+        it = it0
+        while it < cfg.linear_iterations:
+            self._update_stats()
+            k = min(cfg.stat_interval, cfg.linear_iterations - it)
+            affine, xyz2, es, stats = _jit_linear_chunk(
+                self.arrays,
+                self.movable,
+                jnp.float32(cfg.linear_alpha),
+                cfg.use_scale,
+                k,
+                self._lm_device,
+            )
+            self.arrays = dataclasses.replace(
+                self.arrays, affine=affine, xyz2=xyz2
+            )
+            self._record_chunk(es, stats)
+            it += k
+            self._maybe_checkpoint("linear", it=it)
+
+    def _after_linear(self):
         # Bake the linear stage and snapshot the chains.
+        cfg = self.config
         self._bake()
         for i in range(cfg.n_fixed, self.arrays.n_images):
             self.chains[i] = TransformChain(
@@ -365,21 +406,38 @@ class GroupRegistration:
             )
         self.linear_histograms = self._current_histograms()
 
-        grids_per_level = []
+    def _run_deformable(self):
+        cfg = self.config
+        self.grids_per_level = []
         if cfg.deformable_levels:
             if cfg.verbose:
                 print("Deformable registration")
             self.count_inliers()
             for level in range(cfg.deformable_levels):
-                n_grids = self._run_level(level)
-                grids_per_level.append(n_grids)
+                self.grids_per_level.append(self._run_level(level))
+
+    def _finish(self):
+        if self.config.deformable_levels:
             self.count_inliers()
-        self.grids_per_level = grids_per_level
         self.final_histograms = self._current_histograms()
         if "images" not in self.stats_record:
             self.count_inliers()
         self.stats_record["bbox"] = self._bbox_record()
         return self
+
+    def _maybe_checkpoint(self, stage: str, coeffs=None, **progress):
+        cfg = self.config
+        if not cfg.checkpoint_path:
+            return
+        self._chunk_counter = getattr(self, "_chunk_counter", 0) + 1
+        if self._chunk_counter % cfg.checkpoint_interval:
+            return
+        from .checkpoint import save_checkpoint
+
+        if hasattr(self, "linear_histograms"):
+            progress["linear_histograms"] = self.linear_histograms
+        progress["done_levels"] = getattr(self, "grids_per_level", [])
+        save_checkpoint(self, cfg.checkpoint_path, stage, coeffs=coeffs, **progress)
 
     def _linear_step(self):
         return _jit_linear_update(
@@ -389,9 +447,18 @@ class GroupRegistration:
             self.config.use_scale,
         )
 
-    def _run_level(self, level: int) -> int:
+    def _run_level(
+        self,
+        level: int,
+        coeffs0=None,
+        it0: int = 0,
+        alpha0: float | None = None,
+        n_grids0: int = 1,
+        n_diffeo0: int = 0,
+    ) -> int:
         """One deformable level with the stacked-grid diffeomorphism
-        guarantee (imageGroup.cxx:78-128)."""
+        guarantee (imageGroup.cxx:78-128).  The optional arguments restart
+        the level mid-way from a checkpoint."""
         cfg = self.config
         n = self.arrays.n_images
         size = cfg.initial_grid_size / (2.0**level)
@@ -402,7 +469,9 @@ class GroupRegistration:
                 f"Level {level + 1}/{cfg.deformable_levels}: grid dims {dims},"
                 f" spacing {np.round(spacing, 3).tolist()}"
             )
-        coeffs = jnp.zeros((n, *dims, 3), jnp.float32)
+        coeffs = (
+            jnp.zeros((n, *dims, 3), jnp.float32) if coeffs0 is None else coeffs0
+        )
         origin_d = jnp.asarray(origin, jnp.float32)
         spacing_d = jnp.asarray(spacing, jnp.float32)
         limit = jnp.asarray(
@@ -410,18 +479,24 @@ class GroupRegistration:
         )
         constraint_weight = n * cfg.landmarks_constraint_weight
         subtract_mean = cfg.n_fixed == 0
-        alpha = cfg.deformable_alpha
-        n_grids = 1
-        n_diffeo_iters = 0
+        alpha = cfg.deformable_alpha if alpha0 is None else alpha0
+        n_grids = n_grids0
+        n_diffeo_iters = n_diffeo0
 
         # The separable B-spline basis depends only on the *baked*
         # positions: computed once per grid instantiation, reused by every
         # iteration's scatter and transform (TPU: pure matmuls after this).
         basis = _jit_basis(origin_d, spacing_d, dims, self.arrays.xyz)
-        # xyz2 = xyz under the fresh zero grid.
-        self.arrays = dataclasses.replace(self.arrays, xyz2=self.arrays.xyz)
+        if coeffs0 is None:
+            # xyz2 = xyz under the fresh zero grid.
+            self.arrays = dataclasses.replace(self.arrays, xyz2=self.arrays.xyz)
+        else:
+            self.arrays = dataclasses.replace(
+                self.arrays,
+                xyz2=_jit_apply_sep(coeffs, basis, self.arrays.xyz),
+            )
 
-        it = 0
+        it = it0
         while it < cfg.deformable_iterations:
             self._update_stats()
             k = min(cfg.stat_interval, cfg.deformable_iterations - it)
@@ -466,6 +541,15 @@ class GroupRegistration:
                     self.arrays, xyz2=self.arrays.xyz
                 )
                 n_diffeo_iters = 0
+            self._maybe_checkpoint(
+                "deformable",
+                coeffs=coeffs,
+                it=it,
+                level=level,
+                alpha=alpha,
+                n_grids=n_grids,
+                n_diffeo=n_diffeo_iters,
+            )
 
         self._freeze_grid(coeffs, origin, spacing)
         self._bake_bspline(coeffs, basis)
