@@ -100,9 +100,9 @@ def run_tpu(kps, workdir):
 
     params = MatchParams(max_distance=1e10, second_ratio=0.95)
 
-    # warm-up compile on one pair
+    # warm-up compile of the batched kernel on one pair
     t0 = time.time()
-    match_pair(kps[0], kps[1], params)
+    match_graph(kps[:2], params)
     log(f"match compile+first pair: {time.time() - t0:.1f}s")
 
     t0 = time.time()

@@ -30,13 +30,18 @@ from ..io.pairs import ImagePoints, PairGraph
 
 __all__ = ["MatchParams", "match_pair", "match_graph"]
 
-_TILE = 512  # column-tile width; multiple of 128 for MXU lanes
+_TILE = 2048  # column-tile width; multiple of 128 (tuned on v5e)
 
 
 @dataclasses.dataclass(frozen=True)
 class MatchParams:
     """Defaults follow match.cpp:352-353 (the FROG.py driver overrides
-    max_distance to effectively-infinite and relies on the ratio test)."""
+    max_distance to effectively-infinite and relies on the ratio test).
+
+    ``fast`` ranks candidates with bf16 MXU distances and rescores the
+    top-2 exactly in f32 (~4x faster); set False for strict full-precision
+    ranking parity.
+    """
 
     max_distance: float = 0.22
     second_ratio: float = 1.0
@@ -44,6 +49,7 @@ class MatchParams:
     anat_distance: float = 0.0
     symmetric: bool = False
     match_all: bool = False
+    fast: bool = True
 
 
 def _pad_to(x, n, fill=0.0):
@@ -54,7 +60,7 @@ def _pad_to(x, n, fill=0.0):
     return np.pad(x, width, constant_values=fill)
 
 
-@partial(jax.jit, static_argnames=("use_anat",))
+@partial(jax.jit, static_argnames=("use_anat", "fast"))
 def _top2_kernel(
     desc_b,  # (PB, D) query descriptors
     lapl_b,
@@ -69,26 +75,34 @@ def _top2_kernel(
     scale_ratio,
     anat_distance,
     use_anat,
+    fast,
 ):
     """Running top-2 nearest (masked) descriptor distances of every B point
-    over all A column tiles.  Returns (d1, d2, idx1) per B point."""
+    over all A column tiles.  Returns (d1, d2, idx1, idx2) per B point.
+
+    ``fast`` computes the cross term with bf16 MXU passes (4x fewer MXU
+    cycles than the 6-pass f32 mode); the caller then rescores the two
+    surviving candidates exactly in f32, so threshold/ratio decisions stay
+    full precision as long as the true top-2 survive the approximate
+    ranking.
+    """
     pb = desc_b.shape[0]
     ta = desc_a_tiles.shape[1]
     norm_b = jnp.sum(desc_b * desc_b, axis=1)
     inf = jnp.float32(np.inf)
+    db = desc_b.astype(jnp.bfloat16) if fast else desc_b
 
     def body(carry, tile):
-        d1, d2, idx1 = carry
+        d1, d2, idx1, idx2 = carry
         desc_a, lapl_a, scale_a, pos_a, valid_a, base = tile
         norm_a = jnp.sum(desc_a * desc_a, axis=1)
-        # MXU cross term in f32 (HIGHEST avoids bf16 quantization of the
-        # ratio test near its threshold).
+        da = desc_a.astype(jnp.bfloat16) if fast else desc_a
         cross = jax.lax.dot_general(
-            desc_b,
-            desc_a,
+            db,
+            da,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=None if fast else jax.lax.Precision.HIGHEST,
         )
         d = norm_b[:, None] + norm_a[None, :] - 2.0 * cross
         d = jnp.maximum(d, 0.0)
@@ -108,12 +122,24 @@ def _top2_kernel(
         cols = jax.lax.broadcasted_iota(jnp.int32, (pb, ta), 1)
         d_wo = jnp.where(cols == ta_idx[:, None], inf, d)
         t2 = jnp.min(d_wo, axis=1)
+        ta_idx2 = jnp.argmin(d_wo, axis=1)
+        ti1 = base + ta_idx
+        ti2 = base + ta_idx2
 
-        # Merge (t1, t2) into carry (d1, d2).
-        new_d1 = jnp.minimum(d1, t1)
-        new_idx1 = jnp.where(t1 < d1, base + ta_idx, idx1)
-        new_d2 = jnp.minimum(jnp.maximum(d1, t1), jnp.minimum(d2, t2))
-        return (new_d1, new_d2, new_idx1), None
+        # Index-aware merge of {(d1,i1),(d2,i2)} with {(t1,ti1),(t2,ti2)}.
+        first_from_tile = t1 < d1
+        new_d1 = jnp.where(first_from_tile, t1, d1)
+        new_idx1 = jnp.where(first_from_tile, ti1, idx1)
+        # the loser of the first-place contest competes with the winners'
+        # runners-up for second place
+        cand_d = jnp.where(first_from_tile, d1, t1)
+        cand_i = jnp.where(first_from_tile, idx1, ti1)
+        runner_d = jnp.where(first_from_tile, t2, d2)
+        runner_i = jnp.where(first_from_tile, ti2, idx2)
+        second_from_cand = cand_d < runner_d
+        new_d2 = jnp.where(second_from_cand, cand_d, runner_d)
+        new_idx2 = jnp.where(second_from_cand, cand_i, runner_i)
+        return (new_d1, new_d2, new_idx1, new_idx2), None
 
     t = desc_a_tiles.shape[0]
     bases = jnp.arange(t, dtype=jnp.int32) * ta
@@ -121,13 +147,34 @@ def _top2_kernel(
         jnp.full((pb,), inf),
         jnp.full((pb,), inf),
         jnp.zeros((pb,), jnp.int32),
+        jnp.zeros((pb,), jnp.int32),
     )
-    (d1, d2, idx1), _ = jax.lax.scan(
+    (d1, d2, idx1, idx2), _ = jax.lax.scan(
         body,
         init,
         (desc_a_tiles, lapl_a_tiles, scale_a_tiles, pos_a_tiles, valid_a_tiles, bases),
     )
-    return d1, d2, idx1
+    return d1, d2, idx1, idx2
+
+
+@jax.jit
+def _exact_rescore(desc_b, desc_a, idx1, idx2, d1_approx, d2_approx):
+    """Exact f32 distances of each B row to its two surviving candidates.
+
+    Rows whose approximate pass found no first/second candidate (inf)
+    keep inf so the acceptance logic treats them exactly as before.
+    """
+    c1 = desc_a[idx1]
+    c2 = desc_a[idx2]
+    e1 = jnp.sum((desc_b - c1) ** 2, axis=1)
+    e2 = jnp.sum((desc_b - c2) ** 2, axis=1)
+    e1 = jnp.where(jnp.isfinite(d1_approx), e1, jnp.inf)
+    e2 = jnp.where(jnp.isfinite(d2_approx), e2, jnp.inf)
+    swap = e2 < e1
+    d1 = jnp.where(swap, e2, e1)
+    d2 = jnp.where(swap, e1, e2)
+    best = jnp.where(swap, idx2, idx1)
+    return d1, d2, best
 
 
 def _prep(kp: Keypoints, pos: np.ndarray | None, pad: int):
@@ -160,7 +207,7 @@ def match_pair(
     b = _prep(kp_b, pos_b, pad_b)
     t = pad_a // _TILE
 
-    d1, d2, idx1 = _top2_kernel(
+    d1, d2, idx1, idx2 = _top2_kernel(
         b["desc"],
         b["lapl"],
         b["scale"],
@@ -174,7 +221,10 @@ def match_pair(
         jnp.float32(params.scale_ratio),
         jnp.float32(params.anat_distance),
         params.anat_distance > 0,
+        params.fast,
     )
+    if params.fast:
+        d1, d2, idx1 = _exact_rescore(b["desc"], a["desc"], idx1, idx2, d1, d2)
     d1 = np.asarray(d1)
     d2 = np.asarray(d2)
     idx1 = np.asarray(idx1)
@@ -221,6 +271,94 @@ def match_all_pair(
     return np.stack([cols, rows], axis=1).astype(np.int64)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_top2(use_anat: bool, fast: bool):
+    def single(db, lb, sb, pb, vb, da, la, sa, pa, va, sr, ad):
+        return _top2_kernel(
+            db, lb, sb, pb, vb, da, la, sa, pa, va, sr, ad, use_anat, fast
+        )
+
+    return jax.jit(jax.vmap(single, in_axes=(0,) * 10 + (None, None)))
+
+
+_BATCHED_RESCORE = jax.jit(jax.vmap(_exact_rescore))
+_PAIR_CHUNK = 14  # pairs per device dispatch (tuned on v5e)
+
+
+def _match_pairs_batched(keypoints, pairs, params, positions):
+    """Evaluate many (A, B) pairs per device dispatch: all images are
+    padded to one common point count and the top-2 kernel is vmapped over
+    a chunk of pairs — amortizing dispatch/sync cost, which dominates on
+    remote-attached TPUs."""
+    n_max = max(len(kp) for kp in keypoints)
+    pad = max(_TILE, ((n_max + _TILE - 1) // _TILE) * _TILE)
+    prepped = [
+        _prep(kp, positions[i] if positions else None, pad)
+        for i, kp in enumerate(keypoints)
+    ]
+    stacked = {
+        key: jnp.stack([p[key] for p in prepped]) for key in prepped[0]
+    }
+    t = pad // _TILE
+    results = {}
+    for start in range(0, len(pairs), _PAIR_CHUNK):
+        chunk = pairs[start : start + _PAIR_CHUNK]
+        real = len(chunk)
+        # pad to the fixed chunk size so one compiled shape serves every
+        # dispatch (duplicated work on the tail is negligible)
+        while len(chunk) < _PAIR_CHUNK:
+            chunk = chunk + [chunk[-1]]
+        ia = jnp.asarray([c[0] for c in chunk])
+        ib = jnp.asarray([c[1] for c in chunk])
+        c = len(chunk)
+        kernel = _batched_top2(params.anat_distance > 0, params.fast)
+        d1, d2, idx1, idx2 = kernel(
+            stacked["desc"][ib],
+            stacked["lapl"][ib],
+            stacked["scale"][ib],
+            stacked["pos"][ib],
+            stacked["valid"][ib],
+            stacked["desc"][ia].reshape(c, t, _TILE, -1),
+            stacked["lapl"][ia].reshape(c, t, _TILE),
+            stacked["scale"][ia].reshape(c, t, _TILE),
+            stacked["pos"][ia].reshape(c, t, _TILE, 3),
+            stacked["valid"][ia].reshape(c, t, _TILE),
+            jnp.float32(params.scale_ratio),
+            jnp.float32(params.anat_distance),
+        )
+        if params.fast:
+            d1, d2, idx1 = _BATCHED_RESCORE(
+                stacked["desc"][ib], stacked["desc"][ia], idx1, idx2, d1, d2
+            )
+        d1 = np.asarray(d1)
+        d2 = np.asarray(d2)
+        idx1 = np.asarray(idx1)
+        for k in range(real):
+            i, j = chunk[k]
+            nb = len(keypoints[j])
+            results[(i, j)] = _accept(
+                d1[k][:nb], d2[k][:nb], idx1[k][:nb], params
+            )
+    return results
+
+
+def _accept(d1, d2, idx1, params):
+    """Threshold + second-ratio acceptance (match.cpp:319-330)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio_ok = np.where(
+            np.isinf(d2),
+            True,
+            np.sqrt(d1 / np.maximum(d2, 1e-30)) < params.second_ratio,
+        )
+    accept = np.isfinite(d1) & ratio_ok
+    accept &= np.sqrt(np.maximum(d1, 0)) < params.max_distance
+    rows = np.flatnonzero(accept)
+    return np.stack([idx1[rows], rows], axis=1).astype(np.int64)
+
+
 def match_graph(
     keypoints: list,
     params: MatchParams = MatchParams(),
@@ -243,19 +381,38 @@ def match_graph(
     else:
         pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
 
-    matcher = match_all_pair if params.match_all else match_pair
     matches = {}
-    for i, j in pairs:
-        pa = positions[i] if positions else None
-        pb = positions[j] if positions else None
-        m = matcher(keypoints[i], keypoints[j], params, pos_a=pa, pos_b=pb)
-        if params.symmetric:
-            rev = matcher(keypoints[j], keypoints[i], params, pos_a=pb, pos_b=pa)
-            m = np.concatenate([m, rev[:, ::-1]], axis=0)
-        if m.shape[0]:
-            matches[(i, j)] = m
-        if progress:
-            print(f"pair ({i},{j}): {m.shape[0]} matches")
+    if params.match_all:
+        for i, j in pairs:
+            pa = positions[i] if positions else None
+            pb = positions[j] if positions else None
+            m = match_all_pair(keypoints[i], keypoints[j], params, pos_a=pa, pos_b=pb)
+            if params.symmetric:
+                rev = match_all_pair(
+                    keypoints[j], keypoints[i], params, pos_a=pb, pos_b=pa
+                )
+                m = np.concatenate([m, rev[:, ::-1]], axis=0)
+            if m.shape[0]:
+                matches[(i, j)] = m
+            if progress:
+                print(f"pair ({i},{j}): {m.shape[0]} matches")
+    else:
+        fwd = _match_pairs_batched(keypoints, pairs, params, positions)
+        rev = (
+            _match_pairs_batched(
+                keypoints, [(j, i) for i, j in pairs], params, positions
+            )
+            if params.symmetric
+            else {}
+        )
+        for i, j in pairs:
+            m = fwd[(i, j)]
+            if params.symmetric:
+                m = np.concatenate([m, rev[(j, i)][:, ::-1]], axis=0)
+            if m.shape[0]:
+                matches[(i, j)] = m
+            if progress:
+                print(f"pair ({i},{j}): {m.shape[0]} matches")
 
     images = []
     for k, kp in enumerate(keypoints):

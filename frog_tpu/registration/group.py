@@ -83,9 +83,11 @@ class GroupRegistration:
         constraint_landmarks: dict | None = None,
         fixed_chains: list | None = None,
         output_dir: str = ".",
+        mesh=None,
     ):
         self.config = config or GroupConfig()
         self.output_dir = output_dir
+        self.mesh = mesh
         merged = dict(landmarks or {})
         if constraint_landmarks:
             for name, entries in constraint_landmarks.items():
@@ -96,6 +98,20 @@ class GroupRegistration:
             landmarks=merged if merged else None,
             hard_constraints=bool(constraint_landmarks),
         )
+        if mesh is not None:
+            from ..parallel.mesh import shard_group_arrays
+
+            n_dev = mesh.devices.size
+            if self.arrays.n_images % n_dev == 0:
+                self.arrays = shard_group_arrays(self.arrays, mesh)
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"image count {self.arrays.n_images} not divisible by"
+                    f" mesh size {n_dev}; running unsharded"
+                )
+                self.mesh = None
         self.movable = jnp.asarray(self.meta.movable)
         self._lm_device = self._build_landmark_indices()
         self.measures: list[Measure] = []

@@ -63,7 +63,7 @@ def test_match_pair_equals_brute_force():
     ).astype(np.float32)
     kp_b.scale[:100] = kp_a.scale[:100]
     kp_b.laplacian[:100] = kp_a.laplacian[:100]
-    params = MatchParams(max_distance=0.5, second_ratio=0.9)
+    params = MatchParams(max_distance=0.5, second_ratio=0.9, fast=False)
     got = match_pair(kp_a, kp_b, params)
     want = brute_force_reference(kp_a, kp_b, params)
     assert got.shape == want.shape
@@ -74,7 +74,7 @@ def test_match_pair_threshold_only():
     rng = np.random.default_rng(1)
     kp_a = random_keypoints(rng, 150)
     kp_b = random_keypoints(rng, 130)
-    params = MatchParams(max_distance=2.0, second_ratio=1.0)
+    params = MatchParams(max_distance=2.0, second_ratio=1.0, fast=False)
     got = match_pair(kp_a, kp_b, params)
     want = brute_force_reference(kp_a, kp_b, params)
     np.testing.assert_array_equal(np.sort(got, axis=0), np.sort(want, axis=0))
@@ -141,3 +141,25 @@ def test_match_graph_symmetric():
     fwd = match_pair(kps[0], kps[1], params1)
     rev = match_pair(kps[1], kps[0], params1)
     assert m.shape[0] == fwd.shape[0] + rev.shape[0]
+
+
+def test_fast_mode_agreement():
+    """bf16 ranking + exact rescore must agree with full-precision mode on
+    realistic (planted + noise) descriptors for virtually every point."""
+    rng = np.random.default_rng(7)
+    kp_a = random_keypoints(rng, 500)
+    kp_b = Keypoints(
+        xyz=kp_a.xyz.copy(),
+        scale=kp_a.scale.copy(),
+        laplacian=kp_a.laplacian.copy(),
+        response=kp_a.response.copy(),
+        desc=(kp_a.desc + rng.normal(scale=0.02, size=kp_a.desc.shape)).astype(
+            np.float32
+        ),
+    )
+    exact = match_pair(kp_a, kp_b, MatchParams(max_distance=0.5, second_ratio=0.9, fast=False))
+    fast = match_pair(kp_a, kp_b, MatchParams(max_distance=0.5, second_ratio=0.9, fast=True))
+    se = set(map(tuple, exact.tolist()))
+    sf = set(map(tuple, fast.tolist()))
+    overlap = len(se & sf) / max(len(se | sf), 1)
+    assert overlap > 0.99, overlap

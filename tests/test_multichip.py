@@ -54,3 +54,48 @@ def test_sharded_matches_unsharded():
         affine1, e1 = jax.jit(step)(sharded)
     np.testing.assert_allclose(np.asarray(affine0), np.asarray(affine1), rtol=1e-5)
     np.testing.assert_allclose(float(e0), float(e1), rtol=1e-5)
+
+
+def test_full_registration_sharded_equals_unsharded():
+    """A complete registration run on an 8-device mesh must reproduce the
+    single-device result."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from frog_tpu.parallel.mesh import make_mesh
+    from frog_tpu.registration import GroupConfig, GroupRegistration
+    from tests.synthetic import make_synthetic_group
+
+    graph, _ = make_synthetic_group(n_images=8, n_points=100, warp_amp=3.0, seed=12)
+    cfg = GroupConfig(
+        linear_iterations=10,
+        deformable_levels=1,
+        deformable_iterations=10,
+        initial_grid_size=60.0,
+        verbose=False,
+    )
+    ref = GroupRegistration(graph, cfg)
+    ref.run()
+
+    mesh = make_mesh(8)
+    with mesh:
+        sharded = GroupRegistration(graph, cfg, mesh=mesh)
+        sharded.run()
+
+    np.testing.assert_allclose(
+        np.asarray(sharded.arrays.xyz2), np.asarray(ref.arrays.xyz2), atol=1e-3
+    )
+    es_a = [m.E for m in ref.measures]
+    es_b = [m.E for m in sharded.measures]
+    np.testing.assert_allclose(es_a, es_b, rtol=1e-4)
+
+
+def test_pair_partitioning():
+    from frog_tpu.parallel.distributed import merge_pair_graphs, partition_pairs
+
+    all_pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    got = []
+    for p in range(4):
+        got.extend(partition_pairs(6, p, 4))
+    assert sorted(got) == sorted(all_pairs)
