@@ -40,6 +40,84 @@ class SurfParams:
     raw_radius: int = 2  # -r: raw subvolume radius in sigma-spaced samples
 
 
+from functools import partial
+
+
+@partial(
+    jax.jit,
+    static_argnames=("lobes", "n_points", "subvoxel", "use_mask", "descriptor", "raw_radius"),
+)
+def _extract_device(
+    data,  # (X, Y, Z) f32 isotropic volume, already on device
+    mask_vals,  # (X, Y, Z) bool or None
+    lobes: tuple,
+    n_points: int,
+    threshold: float,
+    subvoxel: bool,
+    use_mask: bool,
+    descriptor: str,
+    raw_radius: int,
+):
+    """The whole detector+descriptor pipeline as ONE device computation.
+
+    Only O(n_points) outputs cross back to the host — essential when the
+    device is remote-attached (host<->device bandwidth is the bottleneck,
+    not compute).
+    """
+    responses, laps = detect(data, lobes)
+    laps = laps.astype(jnp.int8)
+    peaks = non_max_mask(responses, threshold)
+    if use_mask:
+        peaks = peaks & (mask_vals > 0)[None]
+
+    flat_resp = jnp.where(peaks, responses, -jnp.inf).reshape(-1)
+    k = min(n_points, flat_resp.shape[0])
+    top_vals, top_idx = jax.lax.top_k(flat_resp, k)
+    valid = jnp.isfinite(top_vals)
+    top_idx = jnp.where(valid, top_idx, 0)
+
+    s_shape = responses.shape  # (S, X, Y, Z)
+    sx = s_shape[1] * s_shape[2] * s_shape[3]
+    s_idx = top_idx // sx
+    rem = top_idx % sx
+    vx = rem // (s_shape[2] * s_shape[3])
+    rem = rem % (s_shape[2] * s_shape[3])
+    vy = rem // s_shape[3]
+    vz = rem % s_shape[3]
+
+    lap_top = laps.reshape(-1)[top_idx].astype(jnp.float32)
+    sigma_vox = 1.2 * (3.0 * jnp.asarray(lobes, jnp.float32)[s_idx]) / 9.0
+
+    pos = jnp.stack([vx, vy, vz], axis=1).astype(jnp.float32)
+    if subvoxel:
+        flat = responses.reshape(-1)
+        f_c = flat[top_idx]
+        strides = (sx, s_shape[2] * s_shape[3], s_shape[3], 1)
+        offsets = []
+        coords = (vx, vy, vz)
+        for ax in range(3):
+            stride = strides[ax + 1]
+            n_ax = s_shape[ax + 1]
+            c = coords[ax]
+            ok = (c > 0) & (c < n_ax - 1)
+            f_lo = flat[jnp.maximum(top_idx - stride, 0)]
+            f_hi = flat[jnp.minimum(top_idx + stride, flat.shape[0] - 1)]
+            denom = f_lo - 2 * f_c + f_hi
+            off = jnp.where(
+                jnp.abs(denom) > 1e-12, 0.5 * (f_lo - f_hi) / denom, 0.0
+            )
+            offsets.append(jnp.where(ok, jnp.clip(off, -0.5, 0.5), 0.0))
+        pos = pos + jnp.stack(offsets, axis=1)
+
+    if descriptor == "raw":
+        desc = _raw_descriptor_samples(data, pos, sigma_vox, raw_radius)
+    else:
+        integral = integral_volume(data)
+        desc = descriptors(integral, pos, sigma_vox)
+
+    return top_vals, valid, pos, sigma_vox, lap_top, desc
+
+
 def extract_keypoints(
     vol: Volume,
     params: SurfParams = SurfParams(),
@@ -51,10 +129,7 @@ def extract_keypoints(
     iso = resample_isotropic(vol, params.spacing)
     data = jnp.asarray(iso.data, jnp.float32)
 
-    lobes = tuple(scale_stack_sizes(params.n_octaves))
-    responses, laps = detect(data, lobes)
-    peaks = non_max_mask(responses, params.threshold)
-
+    mask_vals = None
     if mask is not None:
         # sample the mask on the isotropic grid; keep voxels with mask > 0
         mdata = jnp.asarray(mask.data, jnp.float32)
@@ -67,62 +142,31 @@ def extract_keypoints(
         cx, cy, cz = jnp.meshgrid(
             *[jnp.asarray(g, jnp.float32) for g in grids], indexing="ij"
         )
-        mvals = trilinear_sample(mdata, jnp.stack([cx, cy, cz], axis=-1))
-        peaks = peaks & (mvals[None] > 0)
+        mask_vals = trilinear_sample(mdata, jnp.stack([cx, cy, cz], axis=-1)) > 0
 
-    flat_resp = jnp.where(peaks, responses, -jnp.inf).reshape(-1)
-    k = min(params.n_points, flat_resp.shape[0])
-    top_vals, top_idx = jax.lax.top_k(flat_resp, k)
-    valid = np.asarray(jnp.isfinite(top_vals))
-    top_idx = np.asarray(top_idx)[valid]
-    top_vals = np.asarray(top_vals)[valid]
+    lobes = tuple(scale_stack_sizes(params.n_octaves))
+    top_vals, valid, pos, sigma_vox, lap_top, desc = _extract_device(
+        data,
+        mask_vals if mask_vals is not None else jnp.zeros((1, 1, 1), bool),
+        lobes,
+        params.n_points,
+        params.threshold,
+        params.subvoxel,
+        mask_vals is not None,
+        params.descriptor,
+        params.raw_radius,
+    )
 
-    shape = responses.shape
-    sxyz = np.unravel_index(top_idx, shape)
-    s_idx, vx, vy, vz = (np.asarray(a) for a in sxyz)
-
-    # Scale in voxels: sigma = 1.2 * L / 9, L = 3 * lobe.
-    lobes_np = np.asarray(lobes)
-    sigma_vox = 1.2 * (3.0 * lobes_np[s_idx]) / 9.0
-
-    pos = np.stack([vx, vy, vz], axis=1).astype(np.float32)
-    if params.subvoxel and len(top_idx):
-        pos = pos + _subvoxel_offsets(
-            np.asarray(responses), s_idx, vx, vy, vz
-        )
-
-    lap_np = np.asarray(laps)[s_idx, vx, vy, vz]
-
-    if len(top_idx):
-        if params.descriptor == "raw":
-            desc = np.asarray(
-                _raw_descriptors(
-                    data,
-                    jnp.asarray(pos, jnp.float32),
-                    jnp.asarray(sigma_vox, jnp.float32),
-                    params.raw_radius,
-                )
-            )
-        else:
-            integral = integral_volume(data)
-            desc = np.asarray(
-                descriptors(
-                    integral,
-                    jnp.asarray(pos, jnp.float32),
-                    jnp.asarray(sigma_vox, jnp.float32),
-                )
-            )
-    else:
-        ncols = 48 if params.descriptor != "raw" else (2 * params.raw_radius + 1) ** 3
-        desc = np.zeros((0, ncols), np.float32)
-
+    keep = np.asarray(valid)
+    pos = np.asarray(pos)[keep]
+    sigma_vox = np.asarray(sigma_vox)[keep]
     xyz = iso.origin[None, :] + pos * iso.spacing[None, :]
     return Keypoints(
         xyz=xyz.astype(np.float32),
         scale=(sigma_vox * params.spacing).astype(np.float32),
-        laplacian=lap_np.astype(np.float32),
-        response=top_vals.astype(np.float32),
-        desc=desc.astype(np.float32),
+        laplacian=np.asarray(lap_top)[keep].astype(np.float32),
+        response=np.asarray(top_vals)[keep].astype(np.float32),
+        desc=np.asarray(desc)[keep].astype(np.float32),
     )
 
 
@@ -151,25 +195,16 @@ def _subvoxel_offsets(responses, s_idx, vx, vy, vz):
     return out
 
 
-def _raw_descriptors(data, positions, sigmas, radius: int):
+def _raw_descriptor_samples(data, positions, sigmas, radius: int):
     """Raw-subvolume descriptor (surf3d -type 1, frog.json:352-428): a
     (2r+1)^3 cube of trilinear samples spaced by the keypoint's sigma,
-    zero-mean unit-norm so L2 matching behaves like correlation."""
-    import jax
-    import jax.numpy as jnp
-
-    from .resample import trilinear_sample
-
+    zero-mean unit-norm so L2 matching behaves like correlation.
+    Traceable (used inside the fused extraction jit)."""
     r = radius
     offs = jnp.arange(-r, r + 1, dtype=jnp.float32)
     grid = jnp.stack(jnp.meshgrid(offs, offs, offs, indexing="ij"), -1).reshape(-1, 3)
-
-    @jax.jit
-    def sample(pos, sig):
-        coords = pos[:, None, :] + sig[:, None, None] * grid[None]
-        vals = trilinear_sample(data, coords)  # (K, M)
-        vals = vals - jnp.mean(vals, axis=1, keepdims=True)
-        norm = jnp.sqrt(jnp.sum(vals * vals, axis=1, keepdims=True))
-        return vals / jnp.maximum(norm, 1e-12)
-
-    return sample(positions, sigmas)
+    coords = positions[:, None, :] + sigmas[:, None, None] * grid[None]
+    vals = trilinear_sample(data, coords)  # (K, M)
+    vals = vals - jnp.mean(vals, axis=1, keepdims=True)
+    norm = jnp.sqrt(jnp.sum(vals * vals, axis=1, keepdims=True))
+    return vals / jnp.maximum(norm, 1e-12)

@@ -43,25 +43,41 @@ def trilinear_sample(data: jax.Array, coords: jax.Array) -> jax.Array:
 
 
 def resample_isotropic(vol: Volume, spacing: float) -> Volume:
-    """Resample to isotropic ``spacing`` over the same physical extent."""
+    """Resample to isotropic ``spacing`` over the same physical extent.
+
+    Trilinear interpolation on a regular grid is separable, so this runs
+    as three per-axis lerp passes — each a pair of cheap 1-D row gathers —
+    instead of a 3-D gather over every output voxel (which is pathological
+    on TPU).
+    """
     lo, hi = vol.bounds
+    if np.allclose(vol.spacing, spacing, rtol=1e-6):
+        return Volume(np.asarray(vol.data, np.float32), lo, vol.spacing.copy())
     dims = np.maximum(np.floor((hi - lo) / spacing).astype(int) + 1, 1)
     data = jnp.asarray(vol.data, jnp.float32)
 
-    grids = [
-        (lo[k] + spacing * np.arange(dims[k]) - vol.origin[k]) / vol.spacing[k]
-        for k in range(3)
-    ]
-    cx, cy, cz = jnp.meshgrid(
-        jnp.asarray(grids[0], jnp.float32),
-        jnp.asarray(grids[1], jnp.float32),
-        jnp.asarray(grids[2], jnp.float32),
-        indexing="ij",
-    )
-    coords = jnp.stack([cx, cy, cz], axis=-1)
-    out = jax.jit(trilinear_sample)(data, coords)
+    def axis_pass(arr, axis, n_out):
+        u = (lo[axis] + spacing * np.arange(n_out) - vol.origin[axis]) / vol.spacing[
+            axis
+        ]
+        n_in = vol.data.shape[axis]
+        i0 = np.clip(np.floor(u).astype(np.int32), 0, max(n_in - 2, 0))
+        f = np.clip(u - i0, 0.0, 1.0).astype(np.float32)
+        lo_rows = jnp.take(arr, jnp.asarray(i0), axis=axis)
+        hi_rows = jnp.take(arr, jnp.asarray(np.minimum(i0 + 1, n_in - 1)), axis=axis)
+        shape = [1, 1, 1]
+        shape[axis] = n_out
+        fb = jnp.asarray(f).reshape(shape)
+        return lo_rows * (1.0 - fb) + hi_rows * fb
+
+    @jax.jit
+    def run(arr):
+        for axis in range(3):
+            arr = axis_pass(arr, axis, int(dims[axis]))
+        return arr
+
     return Volume(
-        data=np.asarray(out),
+        data=np.asarray(run(data)),
         origin=lo,
         spacing=np.full(3, float(spacing)),
     )

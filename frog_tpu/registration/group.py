@@ -88,15 +88,11 @@ class GroupRegistration:
         self.config = config or GroupConfig()
         self.output_dir = output_dir
         self.mesh = mesh
-        merged = dict(landmarks or {})
-        if constraint_landmarks:
-            for name, entries in constraint_landmarks.items():
-                merged.setdefault(name, []).extend(entries)
         self.arrays, self.meta = build_group_state(
             graph,
             n_fixed=self.config.n_fixed,
-            landmarks=merged if merged else None,
-            hard_constraints=bool(constraint_landmarks),
+            landmarks=landmarks,
+            constraint_landmarks=constraint_landmarks,
         )
         if mesh is not None:
             from ..parallel.mesh import shard_group_arrays

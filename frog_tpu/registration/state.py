@@ -82,38 +82,45 @@ def build_group_state(
     graph: PairGraph,
     n_fixed: int = 0,
     landmarks: dict | None = None,
-    hard_constraints: bool = False,
+    constraint_landmarks: dict | None = None,
     pad_multiple: int = 128,
 ) -> tuple[GroupArrays, GroupMeta]:
     """Build padded device arrays from a match graph.
 
     ``landmarks`` maps name -> list of (image, xyz) entries; landmark
     positions are appended as extra (link-less) points, mirroring
-    imageGroup.cxx:1161-1226.  With ``hard_constraints`` every same-name
-    landmark pair becomes a hard link.
+    imageGroup.cxx:1161-1226.  Entries in ``constraint_landmarks``
+    additionally produce hard links between every same-name pair
+    (the -lc path, :1208-1225); plain ``landmarks`` (-l) are evaluation
+    only.
     """
     n = graph.n_images
     pts = [np.asarray(img.xyz, np.float32) for img in graph.images]
 
     landmark_registry: dict = {}
     hard_links: list = [[] for _ in range(n)]
-    if landmarks:
-        for name, entries in landmarks.items():
-            placed = []
-            for image, xyz in entries:
-                if image >= n:
-                    continue
-                idx = pts[image].shape[0]
-                pts[image] = np.concatenate(
-                    [pts[image], np.asarray(xyz, np.float32)[None]], axis=0
-                )
-                placed.append((image, idx))
-            landmark_registry[name] = placed
-            if hard_constraints:
-                for a_img, a_pt in placed:
-                    for b_img, b_pt in placed:
-                        if (a_img, a_pt) != (b_img, b_pt):
-                            hard_links[a_img].append((a_pt, b_img, b_pt))
+
+    def place(entries):
+        placed = []
+        for image, xyz in entries:
+            if image >= n:
+                continue
+            idx = pts[image].shape[0]
+            pts[image] = np.concatenate(
+                [pts[image], np.asarray(xyz, np.float32)[None]], axis=0
+            )
+            placed.append((image, idx))
+        return placed
+
+    for name, entries in (landmarks or {}).items():
+        landmark_registry[name] = place(entries)
+    for name, entries in (constraint_landmarks or {}).items():
+        placed = place(entries)
+        landmark_registry.setdefault(name, []).extend(placed)
+        for a_img, a_pt in placed:
+            for b_img, b_pt in placed:
+                if (a_img, a_pt) != (b_img, b_pt):
+                    hard_links[a_img].append((a_pt, b_img, b_pt))
 
     n_points = np.array([p.shape[0] for p in pts], dtype=np.int64)
     n_keypoints = np.array([img.xyz.shape[0] for img in graph.images], dtype=np.int64)

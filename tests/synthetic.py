@@ -91,7 +91,7 @@ def make_synthetic_group(
     }
 
 
-def landmark_dict(graph, truth, n_landmarks=8, seed=99):
+def landmark_dict(graph, truth, n_landmarks=8, seed=99, prefix="lm"):
     """Pick common-cloud points as landmarks, expressed in image coords."""
     rng = np.random.default_rng(seed)
     n_points = truth["cloud"].shape[0]
@@ -101,5 +101,5 @@ def landmark_dict(graph, truth, n_landmarks=8, seed=99):
         entries = []
         for i, t in enumerate(truth["images"]):
             entries.append((i, t["inv"](truth["cloud"][pid : pid + 1])[0]))
-        out[f"lm{k}"] = entries
+        out[f"{prefix}{k}"] = entries
     return out
