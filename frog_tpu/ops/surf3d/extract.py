@@ -50,6 +50,7 @@ from functools import partial
 def _extract_device(
     data,  # (X, Y, Z) f32 isotropic volume, already on device
     mask_vals,  # (X, Y, Z) bool or None
+    extent,  # (3,) i32 true (unpadded) dims; peaks beyond are dropped
     lobes: tuple,
     n_points: int,
     threshold: float,
@@ -62,11 +63,15 @@ def _extract_device(
 
     Only O(n_points) outputs cross back to the host — essential when the
     device is remote-attached (host<->device bandwidth is the bottleneck,
-    not compute).
+    not compute).  The volume is bucket-padded to shared shapes so one
+    compile serves many volumes; ``extent`` masks the padded band.
     """
     responses, laps = detect(data, lobes)
     laps = laps.astype(jnp.int8)
     peaks = non_max_mask(responses, threshold)
+    for ax in range(3):
+        idx = jax.lax.broadcasted_iota(jnp.int32, peaks.shape, ax + 1)
+        peaks = peaks & (idx < extent[ax])
     if use_mask:
         peaks = peaks & (mask_vals > 0)[None]
 
@@ -127,7 +132,18 @@ def extract_keypoints(
     if params.pad > 0:
         vol = mirror_pad(vol, params.pad)
     iso = resample_isotropic(vol, params.spacing)
-    data = jnp.asarray(iso.data, jnp.float32)
+
+    # Bucket-pad to multiples of 64 (mirror content) so the fused kernel
+    # compiles once per bucket, not once per volume shape.
+    extent = np.asarray(iso.shape)
+    bucket = np.maximum(((extent + 63) // 64) * 64, 64)
+    pad = bucket - extent
+    sym = np.minimum(pad, extent)  # symmetric padding is capped at the size
+    padded = np.pad(iso.data, [(0, int(p)) for p in sym], mode="symmetric")
+    rest = pad - sym
+    if rest.any():
+        padded = np.pad(padded, [(0, int(p)) for p in rest], mode="edge")
+    data = jnp.asarray(padded, jnp.float32)
 
     mask_vals = None
     if mask is not None:
@@ -143,11 +159,13 @@ def extract_keypoints(
             *[jnp.asarray(g, jnp.float32) for g in grids], indexing="ij"
         )
         mask_vals = trilinear_sample(mdata, jnp.stack([cx, cy, cz], axis=-1)) > 0
+        mask_vals = jnp.pad(mask_vals, [(0, int(p)) for p in pad])
 
     lobes = tuple(scale_stack_sizes(params.n_octaves))
     top_vals, valid, pos, sigma_vox, lap_top, desc = _extract_device(
         data,
         mask_vals if mask_vals is not None else jnp.zeros((1, 1, 1), bool),
+        jnp.asarray(extent, jnp.int32),
         lobes,
         params.n_points,
         params.threshold,
