@@ -31,6 +31,8 @@ except Exception:
 
 from jax._src import xla_bridge as _xb  # noqa: E402
 
-for _name in list(getattr(_xb, "_backend_factories", {})):
-    if _name != "cpu":
-        _xb._backend_factories.pop(_name, None)
+# Drop only the axon remote-TPU factory: its presence stalls first use by
+# ~2 minutes.  The plain 'tpu' factory must STAY registered — pallas/
+# checkify imports require 'tpu' to be a known MLIR platform — and it
+# never initializes under jax_platforms=cpu.
+_xb._backend_factories.pop("axon", None)

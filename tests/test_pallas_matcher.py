@@ -1,0 +1,77 @@
+"""Pallas matcher kernel vs an exact emulation of its arithmetic
+(interpret mode on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from frog_tpu.ops import pallas_matcher as pm
+
+
+@pytest.mark.skipif(not pm.HAVE_PALLAS, reason="pallas unavailable")
+def test_pallas_top2_matches_emulation():
+    rng = np.random.default_rng(0)
+    pb, pa, d = 256, 1024, 48
+    desc_b = rng.normal(size=(pb, d)).astype(np.float32)
+    desc_a = rng.normal(size=(pa, d)).astype(np.float32)
+    desc_b /= np.linalg.norm(desc_b, axis=1, keepdims=True)
+    desc_a /= np.linalg.norm(desc_a, axis=1, keepdims=True)
+    desc_b[:200] = desc_a[:200] + rng.normal(scale=0.02, size=(200, d))
+    lapl_b = rng.choice([-1.0, 1.0], pb).astype(np.float32)
+    lapl_a = rng.choice([-1.0, 1.0], pa).astype(np.float32)
+    lapl_a[:200] = lapl_b[:200]
+    scale_b = rng.uniform(1, 2, pb).astype(np.float32)
+    scale_a = rng.uniform(1, 2, pa).astype(np.float32)
+    scale_a[:200] = scale_b[:200]
+    valid_a = np.ones(pa, bool)
+    valid_a[-50:] = False
+    ratio = np.float32(1.3)
+
+    db = jnp.asarray(desc_b)
+    da = jnp.asarray(desc_a)
+    meta_b = pm.prep_meta(
+        jnp.asarray(lapl_b), jnp.asarray(scale_b), jnp.ones(pb, bool), db
+    )
+    meta_a = pm.prep_meta(
+        jnp.asarray(lapl_a), jnp.asarray(scale_a), jnp.asarray(valid_a), da
+    )
+    d1, d2, i1, i2 = pm.pallas_top2(
+        db.astype(jnp.bfloat16),
+        meta_b,
+        da.astype(jnp.bfloat16),
+        meta_a,
+        jnp.asarray([[ratio]], jnp.float32),
+        interpret=True,
+    )
+    d1, d2, i1, i2 = (np.asarray(v) for v in (d1, d2, i1, i2))
+
+    # Emulate the kernel's arithmetic exactly: bf16 inputs, f32 cross
+    # accumulation, f32 norms/masks.
+    db16 = np.asarray(jnp.asarray(desc_b, jnp.bfloat16).astype(jnp.float32))
+    da16 = np.asarray(jnp.asarray(desc_a, jnp.bfloat16).astype(jnp.float32))
+    cross = db16 @ da16.T
+    norm_b = np.sum(desc_b.astype(np.float32) ** 2, axis=1, dtype=np.float32)
+    norm_a = np.sum(desc_a.astype(np.float32) ** 2, axis=1, dtype=np.float32)
+    dist = np.maximum(norm_b[:, None] + norm_a[None, :] - 2 * cross, 0).astype(
+        np.float32
+    )
+    sr = (scale_b[:, None] / scale_a[None, :]).astype(np.float32)
+    mask = lapl_b[:, None] == lapl_a[None, :]
+    mask &= (sr <= ratio) & (sr * ratio >= np.float32(1.0))
+    mask &= valid_a[None, :]
+    dist = np.where(mask, dist, np.inf)
+
+    want_i1 = np.argmin(dist, axis=1)
+    want_d1 = dist[np.arange(pb), want_i1]
+    dist2 = dist.copy()
+    dist2[np.arange(pb), want_i1] = np.inf
+    want_i2 = np.argmin(dist2, axis=1)
+    want_d2 = dist2[np.arange(pb), want_i2]
+
+    has1 = np.isfinite(want_d1)
+    np.testing.assert_array_equal(np.isfinite(d1), has1)
+    np.testing.assert_allclose(d1[has1], want_d1[has1], rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(i1[has1], want_i1[has1])
+    has2 = np.isfinite(want_d2)
+    np.testing.assert_array_equal(np.isfinite(d2), has2)
+    np.testing.assert_allclose(d2[has2], want_d2[has2], rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(i2[has2], want_i2[has2])
