@@ -451,14 +451,6 @@ class GroupRegistration:
         progress["done_levels"] = getattr(self, "grids_per_level", [])
         save_checkpoint(self, cfg.checkpoint_path, stage, coeffs=coeffs, **progress)
 
-    def _linear_step(self):
-        return _jit_linear_update(
-            self.arrays,
-            self.movable,
-            jnp.float32(self.config.linear_alpha),
-            self.config.use_scale,
-        )
-
     def _run_level(
         self,
         level: int,
