@@ -25,6 +25,10 @@ import time
 
 import numpy as np
 
+# Persistent compilation cache: warm-up compiles (which can take many
+# minutes through the remote-compile service) are reused across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
 N_IMAGES = int(os.environ.get("FROG_BENCH_IMAGES", 8))
 N_POINTS = int(os.environ.get("FROG_BENCH_POINTS", 10000))
 LINEAR_ITERS = int(os.environ.get("FROG_BENCH_LINEAR", 50))
