@@ -126,17 +126,11 @@ def run_tpu(kps, workdir):
         initial_grid_size=GRID_SIZE,
         verbose=False,
     )
-    # Warm-up run for compile: iteration counts of one stat-interval so the
-    # chunked scan kernels compile at the same static chunk length (10).
-    warm_cfg = GroupConfig(
-        linear_iterations=10,
-        deformable_levels=1,
-        deformable_iterations=10,
-        initial_grid_size=GRID_SIZE,
-        verbose=False,
-    )
+    # Warm-up run for compile at the EXACT static stage shapes of the timed
+    # run (each stage is one fused scan whose length is the stage's full
+    # iteration count, so the warm config must equal the real one).
     t0 = time.time()
-    GroupRegistration(graph, warm_cfg).run()
+    GroupRegistration(graph, cfg).run()
     log(f"optimizer compile+warmup: {time.time() - t0:.1f}s")
 
     t0 = time.time()

@@ -175,19 +175,25 @@ class GroupRegistration:
         _, _, dist = kernels.link_geometry(arrays)
         return dist
 
+    def _em_stride(self) -> int:
+        """Static subsampling stride approximating the reference's 10k
+        reservoir (stats.h:36-76) when ``em_max_samples`` is set."""
+        cap = self.config.em_max_samples
+        n_links = self.arrays.link_src.shape[1]
+        if cap and n_links > cap:
+            return -(-n_links // cap)
+        return 1
+
     def _update_stats(self):
         """EM re-estimation over current link distances
-        (imageGroup.cxx:569-598).
-
-        The reference reservoir-subsamples to ``em_max_samples`` distances
-        per image (stats.h:36-76); here a strided subset approximates that
-        when the cap is set, and the default uses every link distance.
+        (imageGroup.cxx:569-598) as a standalone dispatch — used outside
+        the fused stage scans (RANSAC path); inside stages the same math
+        runs on-device via kernels.em_reestimate.
         """
         dist = self._link_distances(self.arrays)
         valid = self.arrays.link_valid
-        cap = self.config.em_max_samples
-        if cap and dist.shape[1] > cap:
-            stride = -(-dist.shape[1] // cap)
+        stride = self._em_stride()
+        if stride > 1:
             dist = dist[:, ::stride]
             valid = valid[:, ::stride]
         em = estimate_mixture(
@@ -388,25 +394,31 @@ class GroupRegistration:
         return self._finish()
 
     def _run_linear(self, it0: int = 0):
+        """The whole linear stage is ONE device dispatch (EM included) —
+        on a remote TPU every host<->device sync costs a network RTT."""
         cfg = self.config
-        it = it0
-        while it < cfg.linear_iterations:
-            self._update_stats()
-            k = min(cfg.stat_interval, cfg.linear_iterations - it)
-            affine, xyz2, es, stats = _jit_linear_chunk(
-                self.arrays,
-                self.movable,
-                jnp.float32(cfg.linear_alpha),
-                cfg.use_scale,
-                k,
-                self._lm_device,
-            )
-            self.arrays = dataclasses.replace(
-                self.arrays, affine=affine, xyz2=xyz2
-            )
-            self._record_chunk(es, stats)
-            it += k
-            self._maybe_checkpoint("linear", it=it)
+        total = cfg.linear_iterations
+        if it0 >= total:
+            return
+        affine, xyz2, em, es, flags, stats = _jit_linear_stage(
+            self.arrays,
+            self.movable,
+            jnp.float32(cfg.linear_alpha),
+            cfg.use_scale,
+            total,
+            jnp.int32(it0),
+            jnp.int32(total - it0),
+            cfg.stat_interval,
+            cfg.em_max_iterations,
+            cfg.em_epsilon,
+            self._em_stride(),
+            self._lm_device,
+        )
+        self.arrays = dataclasses.replace(
+            self.arrays, affine=affine, xyz2=xyz2, em=em
+        )
+        self._record_chunk(es, stats, flags)
+        self._maybe_checkpoint("linear", it=total)
 
     def _after_linear(self):
         # Bake the linear stage and snapshot the chains.
@@ -500,11 +512,14 @@ class GroupRegistration:
                 xyz2=_jit_apply_sep(coeffs, basis, self.arrays.xyz),
             )
 
+        total = cfg.deformable_iterations
         it = it0
-        while it < cfg.deformable_iterations:
-            self._update_stats()
-            k = min(cfg.stat_interval, cfg.deformable_iterations - it)
-            new_coeffs, xyz2, es, flags, stats = _jit_deformable_chunk(
+        while it < total:
+            # One dispatch runs the remaining level (EM in-scan); a guard
+            # trip short-circuits the rest of the scan, and the relaunch
+            # with a fresh grid reuses the same executable (static n_steps,
+            # dynamic it0/n_live).
+            new_coeffs, xyz2, em, es, flags, stats = _jit_deformable_stage(
                 self.arrays,
                 self.movable,
                 coeffs,
@@ -515,15 +530,21 @@ class GroupRegistration:
                 constraint_weight,
                 subtract_mean,
                 cfg.guarantee_diffeomorphism,
-                k,
+                total,
+                jnp.int32(it),
+                jnp.int32(total - it),
+                cfg.stat_interval,
+                cfg.em_max_iterations,
+                cfg.em_epsilon,
+                self._em_stride(),
                 self._lm_device,
             )
             n_done = self._record_chunk(es, stats, flags)
             coeffs = new_coeffs
-            self.arrays = dataclasses.replace(self.arrays, xyz2=xyz2)
+            self.arrays = dataclasses.replace(self.arrays, xyz2=xyz2, em=em)
             it += n_done
             n_diffeo_iters += n_done
-            if n_done < k:
+            if it < total:
                 # An iteration tripped the guard: bake the grid as-is,
                 # stack a fresh one, retry (imageGroup.cxx:97-115).
                 if n_diffeo_iters == 0:
@@ -612,60 +633,98 @@ def _jit_linear_update(arrays, movable, alpha, use_scale):
     return kernels.linear_update(arrays, movable, alpha, use_scale)
 
 
-@partial(jax.jit, static_argnames=("use_scale", "n_steps", "lm_n"))
-def _jit_linear_chunk_impl(arrays, movable, alpha, use_scale, n_steps, lm_flat, lm_seg, lm_n):
-    lm = None if lm_flat is None else (lm_flat, lm_seg, lm_n)
-    return kernels.linear_chunk(arrays, movable, alpha, use_scale, n_steps, lm)
-
-
-def _jit_linear_chunk(arrays, movable, alpha, use_scale, n_steps, lm):
-    if lm is None:
-        return _jit_linear_chunk_impl(
-            arrays, movable, alpha, use_scale, n_steps, None, None, 0
-        )
-    return _jit_linear_chunk_impl(
-        arrays, movable, alpha, use_scale, n_steps, lm[0], lm[1], lm[2]
-    )
-
-
 @partial(
     jax.jit,
-    static_argnames=("subtract_mean", "guarantee", "n_steps", "lm_n"),
+    static_argnames=(
+        "use_scale",
+        "n_steps",
+        "stat_interval",
+        "em_iters",
+        "em_epsilon",
+        "em_stride",
+        "lm_n",
+    ),
 )
-def _jit_deformable_chunk_impl(
+def _jit_linear_stage_impl(
     arrays,
     movable,
-    coeffs,
-    basis,
-    limit,
     alpha,
-    inlier_threshold,
-    constraint_weight,
-    subtract_mean,
-    guarantee,
+    use_scale,
     n_steps,
+    it0,
+    n_live,
+    stat_interval,
+    em_iters,
+    em_epsilon,
+    em_stride,
     lm_flat,
     lm_seg,
     lm_n,
 ):
     lm = None if lm_flat is None else (lm_flat, lm_seg, lm_n)
-    return kernels.deformable_chunk(
+    return kernels.linear_stage(
         arrays,
         movable,
-        coeffs,
-        basis,
-        limit,
         alpha,
-        inlier_threshold,
-        constraint_weight,
-        subtract_mean,
-        guarantee,
+        use_scale,
         n_steps,
+        it0,
+        n_live,
+        stat_interval,
+        em_iters,
+        em_epsilon,
+        em_stride,
         lm,
     )
 
 
-def _jit_deformable_chunk(
+def _jit_linear_stage(
+    arrays,
+    movable,
+    alpha,
+    use_scale,
+    n_steps,
+    it0,
+    n_live,
+    stat_interval,
+    em_iters,
+    em_epsilon,
+    em_stride,
+    lm,
+):
+    lm_flat, lm_seg, lm_n = (None, None, 0) if lm is None else lm
+    return _jit_linear_stage_impl(
+        arrays,
+        movable,
+        alpha,
+        use_scale,
+        n_steps,
+        it0,
+        n_live,
+        stat_interval,
+        em_iters,
+        em_epsilon,
+        em_stride,
+        lm_flat,
+        lm_seg,
+        lm_n,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "subtract_mean",
+        "guarantee",
+        "n_steps",
+        "stat_interval",
+        "em_iters",
+        "em_epsilon",
+        "em_stride",
+        "lm_n",
+    ),
+)
+def _jit_deformable_stage_impl(
     arrays,
     movable,
     coeffs,
@@ -677,10 +736,18 @@ def _jit_deformable_chunk(
     subtract_mean,
     guarantee,
     n_steps,
-    lm,
+    it0,
+    n_live,
+    stat_interval,
+    em_iters,
+    em_epsilon,
+    em_stride,
+    lm_flat,
+    lm_seg,
+    lm_n,
 ):
-    lm_flat, lm_seg, lm_n = (None, None, 0) if lm is None else lm
-    return _jit_deformable_chunk_impl(
+    lm = None if lm_flat is None else (lm_flat, lm_seg, lm_n)
+    return kernels.deformable_stage(
         arrays,
         movable,
         coeffs,
@@ -692,6 +759,55 @@ def _jit_deformable_chunk(
         subtract_mean,
         guarantee,
         n_steps,
+        it0,
+        n_live,
+        stat_interval,
+        em_iters,
+        em_epsilon,
+        em_stride,
+        lm,
+    )
+
+
+def _jit_deformable_stage(
+    arrays,
+    movable,
+    coeffs,
+    basis,
+    limit,
+    alpha,
+    inlier_threshold,
+    constraint_weight,
+    subtract_mean,
+    guarantee,
+    n_steps,
+    it0,
+    n_live,
+    stat_interval,
+    em_iters,
+    em_epsilon,
+    em_stride,
+    lm,
+):
+    lm_flat, lm_seg, lm_n = (None, None, 0) if lm is None else lm
+    return _jit_deformable_stage_impl(
+        arrays,
+        movable,
+        coeffs,
+        basis,
+        limit,
+        alpha,
+        inlier_threshold,
+        constraint_weight,
+        subtract_mean,
+        guarantee,
+        n_steps,
+        it0,
+        n_live,
+        stat_interval,
+        em_iters,
+        em_epsilon,
+        em_stride,
         lm_flat,
         lm_seg,
         lm_n,

@@ -48,6 +48,9 @@ __all__ = [
     "linear_update",
     "deformable_update",
     "segment_sum_sorted",
+    "linear_stage",
+    "deformable_stage",
+    "em_reestimate",
 ]
 
 _HI = jax.lax.Precision.HIGHEST
@@ -313,14 +316,41 @@ def deformable_update(
 #
 # The optimizer runs on a possibly *remote* TPU where every host<->device
 # synchronization costs a network round trip.  Instead of dispatching one
-# iteration at a time (reference control flow), a whole stat-interval of
-# iterations runs as one lax.scan, returning per-iteration energies,
-# landmark statistics (computed on device) and — for the deformable stage —
-# a per-step success flag so the host can reproduce the stacked-grid retry
-# logic exactly: once an iteration trips the diffeomorphism guard, the scan
-# stops updating state, so the returned state is the state at the reject.
+# iteration at a time (reference control flow), a whole *stage* of
+# iterations runs as one lax.scan — EM re-estimation included, fired by a
+# lax.cond every ``stat_interval`` steps exactly like the reference's
+# ``iteration % statIntervalUpdate == 0`` cadence (imageGroup.cxx:59,94).
+# The scan returns per-iteration energies, landmark statistics (computed
+# on device) and — for the deformable stage — a per-step success flag so
+# the host can reproduce the stacked-grid retry logic exactly: once an
+# iteration trips the diffeomorphism guard, the scan stops computing (the
+# remaining steps short-circuit through a lax.cond no-op), so the returned
+# state is the state at the reject.
+#
+# The dispatch length ``n_steps`` is static (one compile per stage shape);
+# the dynamic ``n_live`` marks how many steps are real, so resuming from a
+# checkpoint or retrying after a guard trip reuses the same executable.
 
 import dataclasses as _dc
+
+from .stats import estimate_mixture
+
+
+def em_reestimate(arrays, xyz2, em, max_iterations, epsilon, stride):
+    """EM over the current link distances (imageGroup.cxx:569-598).
+
+    ``stride`` > 1 subsamples the distances (the TPU analog of the
+    reference's 10k reservoir, stats.h:36-76); static, so it is free.
+    """
+    a = _dc.replace(arrays, xyz2=xyz2)
+    _, _, dist = link_geometry(a)
+    valid = arrays.link_valid
+    if stride > 1:
+        dist = dist[:, ::stride]
+        valid = valid[:, ::stride]
+    return estimate_mixture(
+        dist, valid, em, max_iterations=max_iterations, epsilon=epsilon
+    )
 
 
 def landmark_device_stats(xyz2, lm_flat, lm_seg, n_names):
@@ -341,29 +371,64 @@ def landmark_device_stats(xyz2, lm_flat, lm_seg, n_names):
     return jnp.stack([mean, mx, std])
 
 
-def linear_chunk(arrays, movable, alpha, use_scale, n_steps, lm=None):
-    """Run ``n_steps`` linear iterations in one dispatch.
+def linear_stage(
+    arrays,
+    movable,
+    alpha,
+    use_scale,
+    n_steps,
+    it0,
+    n_live,
+    stat_interval,
+    em_iters,
+    em_epsilon,
+    em_stride,
+    lm=None,
+):
+    """Run a whole linear stage (``n_steps`` iterations) in ONE dispatch.
 
-    Returns (affine, xyz2, es (K,), lm_stats (K,3))."""
+    EM re-estimation fires inside the scan whenever the global iteration
+    index ``it0 + i`` hits the ``stat_interval`` cadence — the reference's
+    ``iteration % statIntervalUpdate == 0`` (imageGroup.cxx:59).  Steps at
+    or past the dynamic ``n_live`` are no-ops, so resuming from a
+    checkpoint reuses the same compiled executable.
 
-    def body(carry, _):
-        affine, xyz2 = carry
-        a = _dc.replace(arrays, affine=affine, xyz2=xyz2)
+    Returns (affine, xyz2, em, es (K,), flags (K,), lm_stats (K,3)); flags
+    marks live steps (prefix-true).
+    """
+    zero3 = jnp.zeros(3)
+
+    def live(affine, xyz2, em, i):
+        em = jax.lax.cond(
+            (it0 + i) % stat_interval == 0,
+            lambda: em_reestimate(arrays, xyz2, em, em_iters, em_epsilon, em_stride),
+            lambda: em,
+        )
+        a = _dc.replace(arrays, affine=affine, xyz2=xyz2, em=em)
         new_affine, e = linear_update(a, movable, alpha, use_scale)
         new_xyz2 = transform_points_affine(new_affine, arrays.xyz)
-        if lm is not None:
-            stats = landmark_device_stats(new_xyz2, *lm)
-        else:
-            stats = jnp.zeros(3)
-        return (new_affine, new_xyz2), (e, stats)
+        stats = landmark_device_stats(new_xyz2, *lm) if lm is not None else zero3
+        return new_affine, new_xyz2, em, e, stats
 
-    (affine, xyz2), (es, stats) = jax.lax.scan(
-        body, (arrays.affine, arrays.xyz2), None, length=n_steps
+    def body(carry, i):
+        affine, xyz2, em = carry
+        alive = i < n_live
+        affine, xyz2, em, e, stats = jax.lax.cond(
+            alive,
+            lambda: live(affine, xyz2, em, i),
+            lambda: (affine, xyz2, em, jnp.float32(0.0), zero3),
+        )
+        return (affine, xyz2, em), (e, alive, stats)
+
+    (affine, xyz2, em), (es, flags, stats) = jax.lax.scan(
+        body,
+        (arrays.affine, arrays.xyz2, arrays.em),
+        jnp.arange(n_steps, dtype=jnp.int32),
     )
-    return affine, xyz2, es, stats
+    return affine, xyz2, em, es, flags, stats
 
 
-def deformable_chunk(
+def deformable_stage(
     arrays,
     movable,
     coeffs,
@@ -375,19 +440,33 @@ def deformable_chunk(
     subtract_mean,
     guarantee,
     n_steps,
+    it0,
+    n_live,
+    stat_interval,
+    em_iters,
+    em_epsilon,
+    em_stride,
     lm=None,
 ):
-    """Run up to ``n_steps`` deformable iterations in one dispatch.
+    """Run up to a whole deformable level (``n_steps`` iterations) in ONE
+    dispatch, EM included (see linear_stage).
 
-    Returns (coeffs, xyz2, es (K,), ok_flags (K,), lm_stats (K,3)).
-    ok_flags[i] False means iteration i tripped the diffeomorphism guard;
-    state reflects everything before that iteration (the reject discards
-    its update, imageGroup.cxx:97-115), and later steps are no-ops.
+    Returns (coeffs, xyz2, em, es (K,), ok_flags (K,), lm_stats (K,3)).
+    ok_flags[i] False means iteration i tripped the diffeomorphism guard
+    (or lies at/past ``n_live``); state reflects everything before the
+    trip (the reject discards its update, imageGroup.cxx:97-115), and all
+    later steps short-circuit to no-ops — so a post-trip relaunch with a
+    fresh grid reuses the same executable via ``it0``/``n_live``.
     """
+    zero3 = jnp.zeros(3)
 
-    def body(carry, _):
-        coeffs, xyz2, dead = carry
-        a = _dc.replace(arrays, xyz2=xyz2)
+    def live(coeffs, xyz2, em, i):
+        em = jax.lax.cond(
+            (it0 + i) % stat_interval == 0,
+            lambda: em_reestimate(arrays, xyz2, em, em_iters, em_epsilon, em_stride),
+            lambda: em,
+        )
+        a = _dc.replace(arrays, xyz2=xyz2, em=em)
         cand, n_big, e = deformable_update(
             a,
             movable,
@@ -400,18 +479,26 @@ def deformable_chunk(
             subtract_mean,
         )
         ok = (n_big == 0) if guarantee else jnp.bool_(True)
-        step_ok = ok & ~dead
-        new_coeffs = jnp.where(step_ok, cand, coeffs)
+        new_coeffs = jnp.where(ok, cand, coeffs)
         new_xyz2 = jnp.where(
-            step_ok, bspline_apply_sep(new_coeffs, basis, arrays.xyz), xyz2
+            ok, bspline_apply_sep(new_coeffs, basis, arrays.xyz), xyz2
         )
-        if lm is not None:
-            stats = landmark_device_stats(new_xyz2, *lm)
-        else:
-            stats = jnp.zeros(3)
-        return (new_coeffs, new_xyz2, dead | ~ok), (e, step_ok, stats)
+        stats = landmark_device_stats(new_xyz2, *lm) if lm is not None else zero3
+        return new_coeffs, new_xyz2, em, ok, e, stats
 
-    (coeffs, xyz2, _), (es, flags, stats) = jax.lax.scan(
-        body, (coeffs, arrays.xyz2, jnp.bool_(False)), None, length=n_steps
+    def body(carry, i):
+        coeffs, xyz2, em, dead = carry
+        alive = ~dead & (i < n_live)
+        coeffs, xyz2, em, ok, e, stats = jax.lax.cond(
+            alive,
+            lambda: live(coeffs, xyz2, em, i),
+            lambda: (coeffs, xyz2, em, jnp.bool_(False), jnp.float32(0.0), zero3),
+        )
+        return (coeffs, xyz2, em, dead | (alive & ~ok)), (alive & ok, e, stats)
+
+    (coeffs, xyz2, em, _), (flags, es, stats) = jax.lax.scan(
+        body,
+        (coeffs, arrays.xyz2, arrays.em, jnp.bool_(False)),
+        jnp.arange(n_steps, dtype=jnp.int32),
     )
-    return coeffs, xyz2, es, flags, stats
+    return coeffs, xyz2, em, es, flags, stats

@@ -8,7 +8,12 @@
 // structure — implemented fresh for this benchmark harness.
 //
 // Usage: baseline_frog pairs.bin <linearIters> <deformIters> <gridSize>
-// Prints one JSON line with per-phase seconds.
+//                      [maxEMSamples] [dumpPath]
+// Prints one JSON line with per-phase seconds.  With dumpPath, also writes
+// a JSON file with the per-iteration energy trajectory, final per-image
+// scale/translation and final B-spline coefficients — consumed by
+// tests/test_parity_native.py to assert the JAX optimizer reproduces this
+// reference-equivalent implementation numerically.
 
 #include <algorithm>
 #include <chrono>
@@ -102,6 +107,8 @@ int main(int argc, char** argv) {
     int nDeform = atoi(argv[3]);
     double gridSize = atof(argv[4]);
     size_t maxEM = argc > 5 ? (size_t)atol(argv[5]) : 10000;
+    const char* dumpPath = argc > 6 ? argv[6] : nullptr;
+    vector<double> esLinear, esDeform;
 
     // ---- read pairs.bin (format: match.cpp:675-744)
     FILE* f = fopen(argv[1], "rb");
@@ -194,7 +201,8 @@ int main(int argc, char** argv) {
         double t0 = now();
         if (it % 10 == 0) updateStats();
         double t1 = now(); tStats += t1 - t0;
-#pragma omp parallel for
+        double sE = 0, sEW = 0;  // E = sqrt(sum w^2 d^2 / sum w^2)
+#pragma omp parallel for reduction(+:sE,sEW)
         for (int i = 0; i < n; i++) {
             ImageData& im = images[i];
             double sDisp[3] = {0}, sA[3] = {0}, sB[3] = {0}, sA2[3] = {0}, sB2[3] = {0};
@@ -206,6 +214,7 @@ int main(int argc, char** argv) {
                 for (int k = 0; k < 3; k++) { diff[k] = pB[k] - pA[k]; d2 += diff[k] * diff[k]; }
                 float d = sqrtf(d2);
                 float w = std::min(inlierProb(im, d), inlierProb(images[lk.dstImg], d));
+                sE += (double)w * w * d2; sEW += (double)w * w;
                 for (int k = 0; k < 3; k++) {
                     sDisp[k] += w * diff[k];
                     sA[k] += w * pA[k]; sB[k] += w * pB[k];
@@ -223,6 +232,7 @@ int main(int argc, char** argv) {
         }
         transformLinear();
         tLinear += now() - t1;
+        esLinear.push_back(sqrt(sE / std::max(sEW, 1e-30)));
     }
     // bake
     for (int i = 0; i < n; i++) images[i].xyz = images[i].xyz2;
@@ -280,7 +290,8 @@ int main(int argc, char** argv) {
         double t0 = now();
         if (it % 10 == 0) updateStats();
         double t1 = now(); tStats += t1 - t0;
-#pragma omp parallel for
+        double sE = 0, sEW = 0;  // inlier-gated: w2 = 0 below 0.5
+#pragma omp parallel for reduction(+:sE,sEW)
         for (int i = 0; i < n; i++) {
             ImageData& im = images[i];
             std::fill(grad[i].begin(), grad[i].end(), 0.f);
@@ -295,6 +306,7 @@ int main(int argc, char** argv) {
                 float w = std::min(inlierProb(im, d), inlierProb(images[lk.dstImg], d));
                 if (w < 0.5f) continue;
                 float w2 = w * w;
+                sE += (double)w2 * d2; sEW += (double)w2;
                 for (int k = 0; k < 3; k++) sDisp[3 * lk.src + k] += w2 * diff[k];
                 sWeight[lk.src] += w2;
             }
@@ -338,6 +350,36 @@ int main(int argc, char** argv) {
         }
         transformBspline();
         tDeform += now() - t1;
+        esDeform.push_back(sqrt(sE / std::max(sEW, 1e-30)));
+    }
+
+    if (dumpPath) {
+        FILE* d = fopen(dumpPath, "w");
+        if (!d) { perror("dump"); return 1; }
+        fprintf(d, "{\"grid\": {\"dims\": [%d,%d,%d], \"origin\": [%.17g,%.17g,%.17g], "
+                   "\"spacing\": [%.17g,%.17g,%.17g]},\n", dims[0], dims[1], dims[2],
+                origin[0], origin[1], origin[2], spacing[0], spacing[1], spacing[2]);
+        auto dumpVec = [&](const char* name, const vector<double>& v) {
+            fprintf(d, "\"%s\": [", name);
+            for (size_t k = 0; k < v.size(); k++)
+                fprintf(d, "%s%.10g", k ? "," : "", v[k]);
+            fprintf(d, "],\n");
+        };
+        dumpVec("es_linear", esLinear);
+        dumpVec("es_deform", esDeform);
+        fprintf(d, "\"images\": [");
+        for (int i = 0; i < n; i++) {
+            fprintf(d, "%s{\"scale\": [%.9g,%.9g,%.9g], \"trans\": [%.9g,%.9g,%.9g], "
+                       "\"em\": [%.9g,%.9g,%.9g], \"coeffs\": [",
+                    i ? ",\n" : "", images[i].scale[0], images[i].scale[1],
+                    images[i].scale[2], images[i].trans[0], images[i].trans[1],
+                    images[i].trans[2], images[i].c1, images[i].c2, images[i].ratio);
+            for (size_t g = 0; g < 3 * G; g++)
+                fprintf(d, "%s%.9g", g ? "," : "", coeffs[i][g]);
+            fprintf(d, "]}");
+        }
+        fprintf(d, "]}\n");
+        fclose(d);
     }
 
     printf("{\"images\": %d, \"halfLinks\": %zu, \"stats_s\": %.4f, "
