@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     ma = sub.add_parser("match", help="all-pairs matching")
     ma.add_argument("input", help="point file list or directory")
     ma.add_argument("-o", dest="output", default="pairs.bin")
+    ma.add_argument("-n", dest="max_files", type=int, default=None,
+                    help="cap the file list (match.cpp:498-500)")
+    ma.add_argument("-nt", dest="n_threads", type=int, default=None,
+                    help="host thread cap (the reference's OpenMP -nt)")
     ma.add_argument("-d", dest="distance", type=float, default=0.22)
     ma.add_argument("-d2", dest="ratio", type=float, default=1.0)
     ma.add_argument("-np", dest="n_points", type=int, default=None)
@@ -101,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
     re.add_argument("-si", dest="stat_interval", type=int, default=10)
     re.add_argument("-se", dest="em_epsilon", type=float, default=1e-6)
     re.add_argument("-ss", dest="em_max_samples", type=int, default=None)
+    re.add_argument("-ssm", dest="em_sampling", default="stride",
+                    choices=["stride", "reservoir"],
+                    help="EM subsampling mode: deterministic stride or the"
+                         " reference's random reservoir (stats.h:36-76)")
     re.add_argument("-t", dest="inlier_threshold", type=float, default=0.5)
     re.add_argument("-fi", dest="n_fixed", type=int, default=0)
     re.add_argument("-fd", dest="fixed_dir", default=None)
@@ -285,11 +293,17 @@ def main(argv=None):
         print(f"{len(kp)} keypoints -> {out}")
     elif cmd == "match":
         from .ops.matcher import MatchParams
-        from .pipeline import match_stage
+        from .pipeline import match_stage, parse_match_list
 
-        from .pipeline import list_keypoint_files
-
-        files = list_keypoint_files(args.input)
+        if args.n_threads:
+            # -nt analog: cap XLA's CPU host threads (omp_set_num_threads,
+            # frog.cxx:143-145 / match.cpp:501)
+            os.environ.setdefault(
+                "XLA_FLAGS",
+                f"--xla_cpu_multi_thread_eigen=false "
+                f"intra_op_parallelism_threads={args.n_threads}",
+            )
+        files, rigids = parse_match_list(args.input)
         match_stage(
             files,
             MatchParams(
@@ -306,6 +320,8 @@ def main(argv=None):
             zmax=args.zmax,
             target=args.target,
             transform_prefix=args.transform_prefix,
+            rigids=rigids,
+            max_files=args.max_files,
         )
     elif cmd == "register":
         from .io.pairs import read_pairs
@@ -327,6 +343,9 @@ def main(argv=None):
             stat_interval=args.stat_interval,
             em_epsilon=args.em_epsilon,
             em_max_samples=args.em_max_samples,
+            em_sampling=args.em_sampling,
+            display_linear=bool(args.dlinear),
+            display_stats=bool(args.dstats),
             inlier_threshold=args.inlier_threshold,
             n_fixed=args.n_fixed,
             use_ransac=bool(args.use_ransac),

@@ -51,6 +51,16 @@ def list_keypoint_files(path: str) -> list:
     only files whose first line parses as a keypoint row (>= 7 numeric
     columns), so run artifacts (pairs.bin, measures.csv, ...) are skipped.
     """
+    return parse_match_list(path)[0]
+
+
+def parse_match_list(path: str):
+    """Match input: directory scan or a list file whose rows are
+    ``file[,tx,ty,tz]`` — the optional per-file rigid offset that the
+    reference stores per image and writes into pairs.bin as refTranslation
+    (match.cpp:454-493, 698-708).  Returns (files, rigids) where rigids is
+    an (N, 3) float64 array, or None when no row carried an offset.
+    """
     if os.path.isdir(path):
         out = []
         for f in sorted(os.listdir(path)):
@@ -60,16 +70,34 @@ def list_keypoint_files(path: str) -> list:
             elif f.endswith((".csv", ".csv.gz")):
                 if _looks_like_keypoints(full):
                     out.append(full)
-        return out
+        return out, None
     files = []
+    rigids = []
+    any_rigid = False
     base = os.path.dirname(path)
     with open(path) as fh:
         for line in fh:
-            cell = line.split(",")[0].strip()
+            cells = [c.strip() for c in line.split(",")]
+            cell = cells[0]
             if not cell or cell.startswith("#"):
                 continue
-            files.append(cell if cell.startswith("/") else os.path.join(base, cell))
-    return files
+            if cell.startswith("/"):
+                files.append(cell)
+            else:
+                # relative names get the list file's directory prepended;
+                # the reference also appends ".csv" (match.cpp:460-473)
+                if not cell.endswith((".csv", ".csv.gz", ".bin")):
+                    cell += ".csv"
+                files.append(os.path.join(base, cell))
+            t = np.zeros(3)
+            try:
+                for k in range(3):
+                    t[k] = float(cells[1 + k])
+                any_rigid = True
+            except (IndexError, ValueError):
+                pass
+            rigids.append(t)
+    return files, (np.asarray(rigids) if any_rigid else None)
 
 
 def _looks_like_keypoints(path: str) -> bool:
@@ -135,11 +163,20 @@ def match_stage(
     zmax: float = 1e20,
     target: int | None = None,
     transform_prefix: str | None = None,
+    rigids: np.ndarray | None = None,
+    max_files: int | None = None,
     skip_existing: bool = False,
     verbose: bool = True,
 ) -> PairGraph:
     """Load + prune keypoints, build the match graph, write pairs.bin
-    (match/match.cpp main flow)."""
+    (match/match.cpp main flow).  ``rigids`` are per-file offsets whose z
+    component shifts the z-slab filter (match.cpp:538-546) and which are
+    written to pairs.bin as refTranslation; ``max_files`` caps the file
+    list (-n, match.cpp:498-500)."""
+    if max_files is not None and len(keypoint_files) > max_files:
+        keypoint_files = keypoint_files[:max_files]
+        if rigids is not None:
+            rigids = rigids[:max_files]
     if skip_existing and os.path.exists(out_file):
         if verbose:
             print(f"{out_file} exists, skipping matching")
@@ -149,7 +186,9 @@ def match_stage(
     for idx, f in enumerate(keypoint_files):
         kp = read_keypoints(f)
         if zmin > -1e19 or zmax < 1e19:
-            keep = (kp.xyz[:, 2] >= zmin) & (kp.xyz[:, 2] <= zmax)
+            zt = float(rigids[idx][2]) if rigids is not None else 0.0
+            z = kp.xyz[:, 2] + zt
+            keep = (z >= zmin) & (z <= zmax)
             kp = kp.select(np.flatnonzero(keep))
         if n_points is not None or min_response > 0:
             kp = kp.top_by_response(n_points or len(kp), min_response)
@@ -166,7 +205,7 @@ def match_stage(
     names = [os.path.basename(f) for f in keypoint_files]
     graph = match_graph(
         kps, params, names=names, target=target, positions=positions,
-        progress=verbose,
+        ref_translations=rigids, progress=verbose,
     )
     if out_file:
         write_pairs(out_file, graph)

@@ -64,6 +64,16 @@ class GroupConfig:
     single_file_transforms: bool = False
     write_pairs: bool = False
     verbose: bool = True
+    # -dlinear / -dstats debug prints (imageGroup.cxx:47-48,60-62,95).
+    # The reference prints every iteration; here stages are single fused
+    # dispatches, so these fire at every chunk boundary (where the arrays
+    # are on host anyway) instead of per iteration.
+    display_linear: bool = False
+    display_stats: bool = False
+    # EM subsampling mode when em_max_samples is set: "stride" (default,
+    # deterministic) or "reservoir" (reproduces the reference's random
+    # acceptance sampling, stats.h:36-76)
+    em_sampling: str = "stride"
 
 
 @dataclasses.dataclass
@@ -179,10 +189,20 @@ class GroupRegistration:
         """Static subsampling stride approximating the reference's 10k
         reservoir (stats.h:36-76) when ``em_max_samples`` is set."""
         cap = self.config.em_max_samples
+        if self.config.em_sampling == "reservoir":
+            return 1
         n_links = self.arrays.link_src.shape[1]
         if cap and n_links > cap:
             return -(-n_links // cap)
         return 1
+
+    def _em_reservoir(self) -> int:
+        """Cap for the reference-parity random acceptance sampling mode
+        (stats.h:58-76); 0 disables it."""
+        cfg = self.config
+        if cfg.em_sampling == "reservoir" and cfg.em_max_samples:
+            return int(cfg.em_max_samples)
+        return 0
 
     def _update_stats(self):
         """EM re-estimation over current link distances
@@ -190,6 +210,19 @@ class GroupRegistration:
         the fused stage scans (RANSAC path); inside stages the same math
         runs on-device via kernels.em_reestimate.
         """
+        cap = self._em_reservoir()
+        if cap:
+            em = jax.jit(kernels.em_reestimate, static_argnums=(3, 5, 6))(
+                self.arrays,
+                self.arrays.xyz2,
+                self.arrays.em,
+                self.config.em_max_iterations,
+                self.config.em_epsilon,
+                1,
+                cap,
+            )
+            self.arrays = dataclasses.replace(self.arrays, em=em)
+            return
         dist = self._link_distances(self.arrays)
         valid = self.arrays.link_valid
         stride = self._em_stride()
@@ -288,6 +321,39 @@ class GroupRegistration:
                     f", average={m.landmark_av:.4g}, stdev={m.landmark_std:.4g}"
                 )
             print(msg)
+
+    def _display_debug(self):
+        if self.config.display_stats:
+            self.display_stats()
+        if self.config.display_linear:
+            self.display_linear_transforms()
+
+    def display_linear_transforms(self):
+        """-dlinear: per-image translation and scale
+        (imageGroup.cxx:600-627)."""
+        affine = np.asarray(self.arrays.affine)
+        for i in range(self.config.n_fixed, self.arrays.n_images):
+            t = affine[i, :3, 3]
+            s = np.diagonal(affine[i])[:3]
+            print(f"Image {i}, translation={t[0]:g} {t[1]:g} {t[2]:g}")
+            print(f"scale={s[0]:g} {s[1]:g} {s[2]:g}")
+
+    def display_stats(self):
+        """-dstats: per-image EM parameters + sample moments
+        (imageGroup.cxx:899-906, stats.cxx:72-93)."""
+        dist = np.asarray(self._link_distances(self.arrays))
+        valid = np.asarray(self.arrays.link_valid)
+        em = np.asarray(self.arrays.em)
+        for i in range(self.arrays.n_images):
+            d = dist[i][valid[i]]
+            n = len(d)
+            mx = float(d.max()) if n else 0.0
+            mean = float(d.mean()) if n else 0.0
+            std = float(d.std()) if n else 0.0
+            print(
+                f"c1={em[i, 0]:g},c2={em[i, 1]:g},r={em[i, 2]:g},"
+                f"nSamples={n},max={mx:g},mean={mean:g},stdev={std:g}"
+            )
 
     def count_inliers(self):
         """Inlier/outlier census + per-image stats record
@@ -413,11 +479,13 @@ class GroupRegistration:
             cfg.em_epsilon,
             self._em_stride(),
             self._lm_device,
+            self._em_reservoir(),
         )
         self.arrays = dataclasses.replace(
             self.arrays, affine=affine, xyz2=xyz2, em=em
         )
         self._record_chunk(es, stats, flags)
+        self._display_debug()
         self._maybe_checkpoint("linear", it=total)
 
     def _after_linear(self):
@@ -538,8 +606,10 @@ class GroupRegistration:
                 cfg.em_epsilon,
                 self._em_stride(),
                 self._lm_device,
+                self._em_reservoir(),
             )
             n_done = self._record_chunk(es, stats, flags)
+            self._display_debug()
             coeffs = new_coeffs
             self.arrays = dataclasses.replace(self.arrays, xyz2=xyz2, em=em)
             it += n_done
@@ -643,6 +713,7 @@ def _jit_linear_update(arrays, movable, alpha, use_scale):
         "em_epsilon",
         "em_stride",
         "lm_n",
+        "em_reservoir",
     ),
 )
 def _jit_linear_stage_impl(
@@ -660,6 +731,7 @@ def _jit_linear_stage_impl(
     lm_flat,
     lm_seg,
     lm_n,
+    em_reservoir,
 ):
     lm = None if lm_flat is None else (lm_flat, lm_seg, lm_n)
     return kernels.linear_stage(
@@ -675,6 +747,7 @@ def _jit_linear_stage_impl(
         em_epsilon,
         em_stride,
         lm,
+        em_reservoir,
     )
 
 
@@ -691,6 +764,7 @@ def _jit_linear_stage(
     em_epsilon,
     em_stride,
     lm,
+    em_reservoir=0,
 ):
     lm_flat, lm_seg, lm_n = (None, None, 0) if lm is None else lm
     return _jit_linear_stage_impl(
@@ -708,6 +782,7 @@ def _jit_linear_stage(
         lm_flat,
         lm_seg,
         lm_n,
+        em_reservoir,
     )
 
 
@@ -722,6 +797,7 @@ def _jit_linear_stage(
         "em_epsilon",
         "em_stride",
         "lm_n",
+        "em_reservoir",
     ),
 )
 def _jit_deformable_stage_impl(
@@ -745,6 +821,7 @@ def _jit_deformable_stage_impl(
     lm_flat,
     lm_seg,
     lm_n,
+    em_reservoir,
 ):
     lm = None if lm_flat is None else (lm_flat, lm_seg, lm_n)
     return kernels.deformable_stage(
@@ -766,6 +843,7 @@ def _jit_deformable_stage_impl(
         em_epsilon,
         em_stride,
         lm,
+        em_reservoir,
     )
 
 
@@ -788,6 +866,7 @@ def _jit_deformable_stage(
     em_epsilon,
     em_stride,
     lm,
+    em_reservoir=0,
 ):
     lm_flat, lm_seg, lm_n = (None, None, 0) if lm is None else lm
     return _jit_deformable_stage_impl(
@@ -811,6 +890,7 @@ def _jit_deformable_stage(
         lm_flat,
         lm_seg,
         lm_n,
+        em_reservoir,
     )
 
 

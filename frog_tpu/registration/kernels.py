@@ -336,16 +336,35 @@ import dataclasses as _dc
 from .stats import estimate_mixture
 
 
-def em_reestimate(arrays, xyz2, em, max_iterations, epsilon, stride):
+def em_reestimate(
+    arrays, xyz2, em, max_iterations, epsilon, stride,
+    reservoir_cap=0, step=None,
+):
     """EM over the current link distances (imageGroup.cxx:569-598).
 
     ``stride`` > 1 subsamples the distances (the TPU analog of the
     reference's 10k reservoir, stats.h:36-76); static, so it is free.
+
+    ``reservoir_cap`` > 0 instead reproduces the reference's *random*
+    acceptance sampling (stats.h:58-76): each sample is kept with
+    probability cap / nLinks_i in link order until the buffer is full.
+    ``step`` (the global iteration index) seeds the per-event draw.
     """
     a = _dc.replace(arrays, xyz2=xyz2)
     _, _, dist = link_geometry(a)
     valid = arrays.link_valid
-    if stride > 1:
+    if reservoir_cap:
+        n_links = jnp.sum(valid, axis=1, keepdims=True).astype(jnp.float32)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(0),
+            jnp.int32(0) if step is None else jnp.int32(step),
+        )
+        u = jax.random.uniform(key, dist.shape)
+        p_accept = jnp.minimum(reservoir_cap / jnp.maximum(n_links, 1.0), 1.0)
+        accept = valid & (u <= p_accept)
+        accept = accept & (jnp.cumsum(accept, axis=1) <= reservoir_cap)
+        valid = accept
+    elif stride > 1:
         dist = dist[:, ::stride]
         valid = valid[:, ::stride]
     return estimate_mixture(
@@ -384,6 +403,7 @@ def linear_stage(
     em_epsilon,
     em_stride,
     lm=None,
+    em_reservoir=0,
 ):
     """Run a whole linear stage (``n_steps`` iterations) in ONE dispatch.
 
@@ -401,7 +421,10 @@ def linear_stage(
     def live(affine, xyz2, em, i):
         em = jax.lax.cond(
             (it0 + i) % stat_interval == 0,
-            lambda: em_reestimate(arrays, xyz2, em, em_iters, em_epsilon, em_stride),
+            lambda: em_reestimate(
+                arrays, xyz2, em, em_iters, em_epsilon, em_stride,
+                reservoir_cap=em_reservoir, step=it0 + i,
+            ),
             lambda: em,
         )
         a = _dc.replace(arrays, affine=affine, xyz2=xyz2, em=em)
@@ -447,6 +470,7 @@ def deformable_stage(
     em_epsilon,
     em_stride,
     lm=None,
+    em_reservoir=0,
 ):
     """Run up to a whole deformable level (``n_steps`` iterations) in ONE
     dispatch, EM included (see linear_stage).
@@ -463,7 +487,10 @@ def deformable_stage(
     def live(coeffs, xyz2, em, i):
         em = jax.lax.cond(
             (it0 + i) % stat_interval == 0,
-            lambda: em_reestimate(arrays, xyz2, em, em_iters, em_epsilon, em_stride),
+            lambda: em_reestimate(
+                arrays, xyz2, em, em_iters, em_epsilon, em_stride,
+                reservoir_cap=em_reservoir, step=it0 + i,
+            ),
             lambda: em,
         )
         a = _dc.replace(arrays, xyz2=xyz2, em=em)
