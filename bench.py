@@ -104,10 +104,11 @@ def run_tpu(kps, workdir):
 
     params = MatchParams(max_distance=1e10, second_ratio=0.95)
 
-    # warm-up compile of the batched kernel on one pair
+    # warm-up compile at the EXACT workload shapes (the stacked prep and
+    # gathers specialize on the image count, not just the pad size)
     t0 = time.time()
-    match_graph(kps[:2], params)
-    log(f"match compile+first pair: {time.time() - t0:.1f}s")
+    match_graph(kps, params)
+    log(f"match compile+first full pass: {time.time() - t0:.1f}s")
 
     t0 = time.time()
     graph = match_graph(kps, params)

@@ -319,6 +319,16 @@ def _pallas_available() -> bool:
 
 
 @jax.jit
+def _jit_prep_meta(desc, lapl, scale, valid):
+    """bf16 descriptors + per-point metadata rows, one fused dispatch."""
+    from . import pallas_matcher as pm
+
+    return desc.astype(jnp.bfloat16), jax.vmap(pm.prep_meta)(
+        lapl, scale, valid, desc
+    )
+
+
+@jax.jit
 def _pallas_chunk_top2(desc16_b, meta_b, desc16_a, meta_a, scale_ratio):
     from . import pallas_matcher as pm
 
@@ -340,22 +350,45 @@ def _match_pairs_batched(keypoints, pairs, params, positions):
     """
     n_max = max(len(kp) for kp in keypoints)
     pad = max(_TILE, ((n_max + _TILE - 1) // _TILE) * _TILE)
-    prepped = [
-        _prep(kp, positions[i] if positions else None, pad)
-        for i, kp in enumerate(keypoints)
-    ]
+    # Stack on the host and ship ONE buffer per field (a handful of large
+    # transfers instead of 5 x N small ones + an on-device stack).
+    if positions:
+        pos_src = [
+            positions[i] if positions[i] is not None else kp.xyz
+            for i, kp in enumerate(keypoints)
+        ]
+    else:
+        pos_src = [kp.xyz for kp in keypoints]
     stacked = {
-        key: jnp.stack([p[key] for p in prepped]) for key in prepped[0]
+        "desc": jnp.asarray(
+            np.stack([_pad_to(kp.desc.astype(np.float32), pad) for kp in keypoints])
+        ),
+        "lapl": jnp.asarray(
+            np.stack(
+                [_pad_to(kp.laplacian.astype(np.float32), pad) for kp in keypoints]
+            )
+        ),
+        "scale": jnp.asarray(
+            np.stack(
+                [
+                    _pad_to(kp.scale.astype(np.float32), pad, fill=1.0)
+                    for kp in keypoints
+                ]
+            )
+        ),
+        "pos": jnp.asarray(
+            np.stack([_pad_to(p.astype(np.float32), pad) for p in pos_src])
+        ),
+        "valid": jnp.asarray(
+            np.stack([np.arange(pad) < len(kp) for kp in keypoints])
+        ),
     }
     use_pallas = (
         params.fast and params.anat_distance == 0 and _pallas_available()
     )
     if use_pallas:
-        from . import pallas_matcher as pm
-
-        stacked["desc16"] = stacked["desc"].astype(jnp.bfloat16)
-        stacked["meta"] = jax.vmap(pm.prep_meta)(
-            stacked["lapl"], stacked["scale"], stacked["valid"], stacked["desc"]
+        stacked["desc16"], stacked["meta"] = _jit_prep_meta(
+            stacked["desc"], stacked["lapl"], stacked["scale"], stacked["valid"]
         )
     t = pad // _TILE
     results = {}
@@ -481,20 +514,23 @@ def match_graph(
     target: int | None = None,
     ref_translations: np.ndarray | None = None,
     positions: list | None = None,
+    pairs: list | None = None,
     progress: bool = False,
 ) -> PairGraph:
     """Build the full match graph over a list of Keypoints.
 
     ``target`` restricts to pairs (i, target) for register-one-vs-group
-    (-targ, match.cpp:617-628).  Returns a PairGraph whose images carry
-    (xyz, scale, laplacianSign, response) exactly as match writes them.
+    (-targ, match.cpp:617-628).  ``pairs`` restricts to an explicit pair
+    subset (multi-process pair partitioning, parallel.distributed).
+    Returns a PairGraph whose images carry (xyz, scale, laplacianSign,
+    response) exactly as match writes them.
     """
     n = len(keypoints)
-    pairs: list = []
-    if target is not None:
-        pairs = [(i, target) for i in range(n) if i != target]
-    else:
-        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    if pairs is None:
+        if target is not None:
+            pairs = [(i, target) for i in range(n) if i != target]
+        else:
+            pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
 
     matches = {}
     if params.match_all:

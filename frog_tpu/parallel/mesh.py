@@ -75,14 +75,10 @@ def pad_group(arrays, multiple: int):
         xyz=pad_field(arrays.xyz),
         xyz2=pad_field(arrays.xyz2),
         point_valid=pad_field(arrays.point_valid),
-        link_src=pad_field(arrays.link_src),
         link_dst=pad_field(arrays.link_dst),
         link_valid=pad_field(arrays.link_valid),
-        link_bnd=pad_field(arrays.link_bnd),
-        hard_src=pad_field(arrays.hard_src),
         hard_dst=pad_field(arrays.hard_dst),
         hard_valid=pad_field(arrays.hard_valid),
-        hard_bnd=pad_field(arrays.hard_bnd),
         em=jnp.concatenate(
             [arrays.em, jnp.tile(jnp.asarray([[10.0, 300.0, 0.5]]), (target - n, 1))]
         ),

@@ -24,7 +24,7 @@ from ..transforms.bspline import BSpline, grid_from_bbox
 from ..transforms.chain import TransformChain
 from . import kernels
 from .state import build_group_state, GroupArrays, GroupMeta
-from .stats import estimate_mixture, histogram, inlier_probability
+from .stats import estimate_mixture, histogram
 
 __all__ = ["GroupConfig", "GroupRegistration"]
 
@@ -104,20 +104,23 @@ class GroupRegistration:
             landmarks=landmarks,
             constraint_landmarks=constraint_landmarks,
         )
+        self.n_real = self.arrays.n_images
         if mesh is not None:
-            from ..parallel.mesh import shard_group_arrays
+            from ..parallel.mesh import pad_group, shard_group_arrays
 
             n_dev = mesh.devices.size
-            if self.arrays.n_images % n_dev == 0:
-                self.arrays = shard_group_arrays(self.arrays, mesh)
-            else:
-                import warnings
-
-                warnings.warn(
-                    f"image count {self.arrays.n_images} not divisible by"
-                    f" mesh size {n_dev}; running unsharded"
+            if self.arrays.n_images % n_dev:
+                # pad the image axis with empty (non-movable) images so it
+                # shards evenly; n_real keeps the hubless-mean divisor and
+                # every output loop on the true count
+                self.arrays, _ = pad_group(self.arrays, n_dev)
+                self.meta.movable = np.concatenate(
+                    [
+                        self.meta.movable,
+                        np.zeros(self.arrays.n_images - self.n_real, bool),
+                    ]
                 )
-                self.mesh = None
+            self.arrays = shard_group_arrays(self.arrays, mesh)
         self.movable = jnp.asarray(self.meta.movable)
         self._lm_device = self._build_landmark_indices()
         self.measures: list[Measure] = []
@@ -156,7 +159,7 @@ class GroupRegistration:
         n = xyz.shape[0]
         anchors = np.zeros((n, 3))
         c = np.asarray(self.config.linear_anchor)
-        for i in range(n):
+        for i in range(self.n_real):
             pts = xyz[i][valid[i]]
             lo, hi = pts.min(0), pts.max(0)
             anchors[i] = (1 - c) * lo + c * hi
@@ -164,10 +167,10 @@ class GroupRegistration:
         # (N - n_fixed) images (imageGroup.cxx:822-824): with no fixed
         # images this is everyone; in fixed mode those are exactly the
         # already-registered images, i.e. the target space.
-        n_ref = n - self.config.n_fixed
+        n_ref = self.n_real - self.config.n_fixed
         avg = anchors[:n_ref].mean(axis=0)
         affine = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
-        for i in range(self.config.n_fixed, n):
+        for i in range(self.config.n_fixed, self.n_real):
             affine[i, :3, 3] = avg - anchors[i]
         self.arrays = dataclasses.replace(self.arrays, affine=jnp.asarray(affine))
 
@@ -183,7 +186,10 @@ class GroupRegistration:
     @jax.jit
     def _link_distances(arrays: GroupArrays):
         _, _, dist = kernels.link_geometry(arrays)
-        return dist
+        return dist.reshape(arrays.n_images, -1)
+
+    def _link_valid_flat(self):
+        return self.arrays.link_valid.reshape(self.arrays.n_images, -1)
 
     def _em_stride(self) -> int:
         """Static subsampling stride approximating the reference's 10k
@@ -191,7 +197,9 @@ class GroupRegistration:
         cap = self.config.em_max_samples
         if self.config.em_sampling == "reservoir":
             return 1
-        n_links = self.arrays.link_src.shape[1]
+        n_links = (
+            self.arrays.link_dst.shape[1] * self.arrays.link_dst.shape[2]
+        )
         if cap and n_links > cap:
             return -(-n_links // cap)
         return 1
@@ -224,7 +232,7 @@ class GroupRegistration:
             self.arrays = dataclasses.replace(self.arrays, em=em)
             return
         dist = self._link_distances(self.arrays)
-        valid = self.arrays.link_valid
+        valid = self._link_valid_flat()
         stride = self._em_stride()
         if stride > 1:
             dist = dist[:, ::stride]
@@ -332,7 +340,7 @@ class GroupRegistration:
         """-dlinear: per-image translation and scale
         (imageGroup.cxx:600-627)."""
         affine = np.asarray(self.arrays.affine)
-        for i in range(self.config.n_fixed, self.arrays.n_images):
+        for i in range(self.config.n_fixed, self.n_real):
             t = affine[i, :3, 3]
             s = np.diagonal(affine[i])[:3]
             print(f"Image {i}, translation={t[0]:g} {t[1]:g} {t[2]:g}")
@@ -342,9 +350,9 @@ class GroupRegistration:
         """-dstats: per-image EM parameters + sample moments
         (imageGroup.cxx:899-906, stats.cxx:72-93)."""
         dist = np.asarray(self._link_distances(self.arrays))
-        valid = np.asarray(self.arrays.link_valid)
+        valid = np.asarray(self._link_valid_flat())
         em = np.asarray(self.arrays.em)
-        for i in range(self.arrays.n_images):
+        for i in range(self.n_real):
             d = dist[i][valid[i]]
             n = len(d)
             mx = float(d.max()) if n else 0.0
@@ -357,35 +365,26 @@ class GroupRegistration:
 
     def count_inliers(self):
         """Inlier/outlier census + per-image stats record
-        (imageGroup.cxx:988-1060)."""
-        dist = np.asarray(self._link_distances(self.arrays))
-        valid = np.asarray(self.arrays.link_valid)
-        em = self.arrays.em
-        n, p = self.arrays.xyz2.shape[:2]
-        prob_a = np.asarray(inlier_probability(jnp.asarray(dist), em[:, None, :]))
-        dst_img = np.asarray(self.arrays.link_dst) // p
-        prob_b = np.asarray(
-            inlier_probability(jnp.asarray(dist), em[jnp.asarray(dst_img)])
+        (imageGroup.cxx:988-1060).  Counting runs on device
+        (kernels.inlier_census); only (N, 3) ints + EM params come back."""
+        census = np.asarray(
+            _jit_census(self.arrays, jnp.float32(self.config.inlier_threshold))
         )
-        w = np.minimum(prob_a, prob_b)
-        em_np = np.asarray(em)
+        em_np = np.asarray(self.arrays.em)
         images = []
         n_pairs = n_in = n_out = 0
-        for i in range(n):
-            v = valid[i]
+        for i in range(self.n_real):
             if i >= self.config.n_fixed:
-                wi = w[i][v]
-                inl = int((wi >= self.config.inlier_threshold).sum())
-                out = int((wi < self.config.inlier_threshold).sum())
-                n_pairs += len(wi)
+                pairs_i, inl, out = (int(v) for v in census[i])
+                n_pairs += pairs_i
                 n_in += inl
                 n_out += out
             else:
-                inl = out = 0
+                pairs_i = inl = out = 0
             images.append(
                 {
                     "points": int(self.meta.n_points[i]),
-                    "pairs": int(valid[i].sum()) if i >= self.config.n_fixed else 0,
+                    "pairs": pairs_i,
                     "inliers": inl,
                     "outliers": out,
                     "EMStats": {
@@ -492,7 +491,7 @@ class GroupRegistration:
         # Bake the linear stage and snapshot the chains.
         cfg = self.config
         self._bake()
-        for i in range(cfg.n_fixed, self.arrays.n_images):
+        for i in range(cfg.n_fixed, self.n_real):
             self.chains[i] = TransformChain(
                 transforms=(Affine(matrix=self.arrays.affine[i]),)
             )
@@ -561,7 +560,7 @@ class GroupRegistration:
         limit = jnp.asarray(
             cfg.max_displacement_ratio * np.asarray(spacing), jnp.float32
         )
-        constraint_weight = n * cfg.landmarks_constraint_weight
+        constraint_weight = self.n_real * cfg.landmarks_constraint_weight
         subtract_mean = cfg.n_fixed == 0
         alpha = cfg.deformable_alpha if alpha0 is None else alpha0
         n_grids = n_grids0
@@ -607,6 +606,7 @@ class GroupRegistration:
                 self._em_stride(),
                 self._lm_device,
                 self._em_reservoir(),
+                self.n_real,
             )
             n_done = self._record_chunk(es, stats, flags)
             self._display_debug()
@@ -677,7 +677,7 @@ class GroupRegistration:
         """Append the current grid's coefficients to every movable image's
         chain."""
         coeffs_np = np.asarray(coeffs)
-        for i in range(self.config.n_fixed, self.arrays.n_images):
+        for i in range(self.config.n_fixed, self.n_real):
             grid = BSpline(
                 coeffs=jnp.asarray(coeffs_np[i]),
                 origin=jnp.asarray(origin, jnp.float32),
@@ -687,7 +687,7 @@ class GroupRegistration:
 
     def _current_histograms(self):
         dist = self._link_distances(self.arrays)
-        return histogram(dist, np.asarray(self.arrays.link_valid))
+        return histogram(dist, np.asarray(self._link_valid_flat()))
 
     # ---------------------------------------------------------------- outputs
 
@@ -701,6 +701,9 @@ class GroupRegistration:
 @partial(jax.jit, static_argnames=("use_scale",))
 def _jit_linear_update(arrays, movable, alpha, use_scale):
     return kernels.linear_update(arrays, movable, alpha, use_scale)
+
+
+_jit_census = jax.jit(kernels.inlier_census)
 
 
 @partial(
@@ -798,6 +801,7 @@ def _jit_linear_stage(
         "em_stride",
         "lm_n",
         "em_reservoir",
+        "n_real",
     ),
 )
 def _jit_deformable_stage_impl(
@@ -822,6 +826,7 @@ def _jit_deformable_stage_impl(
     lm_seg,
     lm_n,
     em_reservoir,
+    n_real,
 ):
     lm = None if lm_flat is None else (lm_flat, lm_seg, lm_n)
     return kernels.deformable_stage(
@@ -844,6 +849,7 @@ def _jit_deformable_stage_impl(
         em_stride,
         lm,
         em_reservoir,
+        n_real,
     )
 
 
@@ -867,6 +873,7 @@ def _jit_deformable_stage(
     em_stride,
     lm,
     em_reservoir=0,
+    n_real=None,
 ):
     lm_flat, lm_seg, lm_n = (None, None, 0) if lm is None else lm
     return _jit_deformable_stage_impl(
@@ -891,6 +898,7 @@ def _jit_deformable_stage(
         lm_seg,
         lm_n,
         em_reservoir,
+        n_real,
     )
 
 

@@ -91,13 +91,17 @@ def save_pairs_csv(reg, path):
     from .stats import inlier_probability
 
     dist = np.asarray(reg._link_distances(reg.arrays))
-    valid = np.asarray(reg.arrays.link_valid)
+    valid = np.asarray(reg._link_valid_flat())
     prob = np.asarray(
         inlier_probability(jnp.asarray(dist), reg.arrays.em[:, None, :])
     )
-    src = np.asarray(reg.arrays.link_src)
-    dst = np.asarray(reg.arrays.link_dst)
     p = reg.arrays.points_per_image
+    k = reg.arrays.links_per_point
+    # source point of flattened table slot l is l // K
+    src = np.broadcast_to(
+        np.repeat(np.arange(p), k)[None], (reg.arrays.n_images, p * k)
+    )
+    dst = np.asarray(reg.arrays.link_dst).reshape(reg.arrays.n_images, -1)
     rows = []
     for i in range(reg.arrays.n_images):
         v = valid[i]
@@ -170,16 +174,15 @@ def save_error_maps(reg, out_dir):
     pA, diff, dist = kernels.link_geometry(arrays)
     w = kernels.link_weights(arrays, dist)
     w2 = jnp.where(w < cfg.inlier_threshold, 0.0, w * w)
-    payload = jnp.concatenate([w2[..., None] * diff, w2[..., None]], axis=-1)
-    sums = kernels.segment_sum_sorted(payload, arrays.link_bnd)
+    s_disp = jnp.sum(w2[..., None] * diff, axis=2)  # (N, P, 3)
+    s_weight = jnp.sum(w2, axis=2)
     cw = n * cfg.landmarks_constraint_weight
     hw2 = jnp.where(arrays.hard_valid, cw * cw, 0.0)
-    hA = jnp.take_along_axis(arrays.xyz2, arrays.hard_src[..., None], axis=1)
     hB = arrays.xyz2.reshape(-1, 3)[arrays.hard_dst]
-    hpayload = jnp.concatenate(
-        [hw2[..., None] * (hB - hA), hw2[..., None]], axis=-1
-    )
-    sums = np.asarray(sums + kernels.segment_sum_sorted(hpayload, arrays.hard_bnd))
+    hdiff = hB - arrays.xyz2[:, :, None, :]
+    s_disp = s_disp + jnp.sum(hw2[..., None] * hdiff, axis=2)
+    s_weight = s_weight + jnp.sum(hw2, axis=2)
+    sums = np.asarray(jnp.concatenate([s_disp, s_weight[..., None]], axis=-1))
 
     xyz = np.asarray(arrays.xyz)
     valid = np.asarray(arrays.point_valid)

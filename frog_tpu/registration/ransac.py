@@ -125,16 +125,20 @@ def ransac_register_images(arrays, meta, cfg):
     """Register every movable image against the fixed group
     (imageGroup.cxx:40-49)."""
     n, p = arrays.xyz2.shape[:2]
+    k = arrays.link_dst.shape[2]
     flat_dst = arrays.xyz2.reshape(n * p, 3)
     new_affine = np.asarray(arrays.affine).copy()
+    # flatten the per-point K-table into per-image (L,) link lists; the
+    # source point of table row (p, k) is p
+    link_src_flat = jnp.repeat(jnp.arange(p, dtype=jnp.int32), k)
     results = []
     for i in range(cfg.n_fixed, n):
-        dst = flat_dst[arrays.link_dst[i]]
+        dst = flat_dst[arrays.link_dst[i].reshape(-1)]
         mat, count = ransac_register_image(
             arrays.xyz[i],
-            arrays.link_src[i],
+            link_src_flat,
             dst,
-            arrays.link_valid[i],
+            arrays.link_valid[i].reshape(-1),
             n_hypotheses=cfg.ransac_iterations,
             inlier_distance=cfg.ransac_inlier_distance,
             max_scale=cfg.ransac_max_scale,

@@ -63,8 +63,12 @@ def estimate_mixture(
         sum1 = jnp.sum(t * d, axis=1)
         sum2 = jnp.sum(t, axis=1)
         sum5 = jnp.sum(w, axis=1)
-        sum3 = jnp.sum(w * d, axis=1) - sum1
-        sum4 = sum5 - sum2
+        # outlier moments summed DIRECTLY over (w - t) rather than as
+        # differences of totals: when almost every sample is an inlier the
+        # subtraction form cancels catastrophically in f32 and c2 becomes
+        # reduction-order dependent (breaking cross-sharding determinism)
+        sum3 = jnp.sum((w - t) * d, axis=1)
+        sum4 = jnp.sum(w - t, axis=1)
         sum2 = jnp.maximum(sum2, epsilon)
         sum3 = jnp.maximum(sum3, epsilon)
         sum4 = jnp.maximum(sum4, epsilon)

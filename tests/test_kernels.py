@@ -6,24 +6,53 @@ import jax.numpy as jnp
 from frog_tpu.registration import kernels
 
 
-def test_segment_sum_sorted_matches_segment_sum():
+def test_ktable_link_reduction_matches_naive():
+    """The K-table dense link reduction equals a naive per-link loop."""
+    import dataclasses
+
+    from frog_tpu.registration.state import GroupArrays
+
     rng = np.random.default_rng(0)
-    n, l, p = 3, 200, 40
-    src = np.sort(rng.integers(0, p, (n, l)), axis=1)
-    vals = rng.normal(size=(n, l, 2)).astype(np.float32)
-    bnd = np.stack([np.searchsorted(src[i], np.arange(p + 1)) for i in range(n)])
-    got = np.asarray(
-        kernels.segment_sum_sorted(jnp.asarray(vals), jnp.asarray(bnd, jnp.int32))
+    n, p, k = 3, 40, 8
+    xyz = rng.uniform(0, 50, (n, p, 3)).astype(np.float32)
+    link_dst = rng.integers(0, n * p, (n, p, k)).astype(np.int32)
+    link_valid = rng.random((n, p, k)) < 0.6
+    arrays = GroupArrays(
+        xyz=jnp.asarray(xyz),
+        xyz2=jnp.asarray(xyz),
+        point_valid=jnp.ones((n, p), bool),
+        link_dst=jnp.asarray(link_dst),
+        link_valid=jnp.asarray(link_valid),
+        hard_dst=jnp.zeros((n, p, 8), jnp.int32),
+        hard_valid=jnp.zeros((n, p, 8), bool),
+        em=jnp.tile(jnp.asarray([[10.0, 300.0, 0.5]], jnp.float32), (n, 1)),
+        affine=jnp.tile(np.eye(4, dtype=np.float32), (n, 1, 1)),
     )
-    want = np.stack(
-        [
-            np.asarray(
-                jax.ops.segment_sum(jnp.asarray(vals[i]), jnp.asarray(src[i]), p)
-            )
-            for i in range(n)
-        ]
-    )
-    np.testing.assert_allclose(got, want, atol=1e-3)
+    pA, diff, dist = kernels.link_geometry(arrays)
+    w = kernels.link_weights(arrays, dist)
+    s_disp = np.asarray(jnp.sum(w[..., None] * diff, axis=2))
+
+    from frog_tpu.registration.stats import inlier_probability
+
+    flat = xyz.reshape(n * p, 3)
+    em = np.asarray(arrays.em)
+    want = np.zeros((n, p, 3), np.float32)
+    for i in range(n):
+        for q in range(p):
+            for kk in range(k):
+                if not link_valid[i, q, kk]:
+                    continue
+                dflat = int(link_dst[i, q, kk])
+                d = flat[dflat] - xyz[i, q]
+                dd = float(np.linalg.norm(d))
+                pa = float(inlier_probability(jnp.float32(dd), jnp.asarray(em[i])))
+                pb = float(
+                    inlier_probability(
+                        jnp.float32(dd), jnp.asarray(em[dflat // p])
+                    )
+                )
+                want[i, q] += min(pa, pb) * d
+    np.testing.assert_allclose(s_disp, want, rtol=1e-3, atol=1e-4)
 
 
 def test_separable_bspline_matches_gather():

@@ -39,7 +39,7 @@ def test_sharded_matches_unsharded():
     from frog_tpu.parallel.mesh import make_mesh, shard_group_arrays
     from frog_tpu.registration import kernels
 
-    arrays = ge._synthetic_arrays(n_images=4, n_points=64, n_links=128, seed=7)
+    arrays = ge._synthetic_arrays(n_images=4, n_points=64, seed=7)
     movable = jnp.ones((4,), bool)
 
     def step(a):
@@ -89,6 +89,43 @@ def test_full_registration_sharded_equals_unsharded():
     es_a = [m.E for m in ref.measures]
     es_b = [m.E for m in sharded.measures]
     np.testing.assert_allclose(es_a, es_b, rtol=1e-4)
+
+
+def test_padded_mesh_equals_unsharded():
+    """An image count NOT divisible by the mesh size pads with empty
+    images; results must match the unsharded run (incl. the hubless-mean
+    divisor)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from frog_tpu.parallel.mesh import make_mesh
+    from frog_tpu.registration import GroupConfig, GroupRegistration
+    from tests.synthetic import make_synthetic_group
+
+    graph, _ = make_synthetic_group(n_images=6, n_points=80, warp_amp=3.0, seed=3)
+    cfg = GroupConfig(
+        linear_iterations=6,
+        deformable_levels=1,
+        deformable_iterations=6,
+        initial_grid_size=60.0,
+        verbose=False,
+    )
+    ref = GroupRegistration(graph, cfg)
+    ref.run()
+
+    mesh = make_mesh(4)
+    with mesh:
+        sharded = GroupRegistration(graph, cfg, mesh=mesh)
+        sharded.run()
+    assert sharded.arrays.n_images == 8 and sharded.n_real == 6
+    np.testing.assert_allclose(
+        np.asarray(sharded.arrays.xyz2)[:6], np.asarray(ref.arrays.xyz2),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        [m.E for m in sharded.measures], [m.E for m in ref.measures], rtol=1e-4
+    )
 
 
 def test_pair_partitioning():
