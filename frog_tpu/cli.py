@@ -85,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     ma.add_argument("-all", dest="match_all", action="store_true")
     ma.add_argument("-targ", dest="target", type=int, default=None)
     ma.add_argument("-transformPrefix", dest="transform_prefix", default=None)
+    ma.add_argument("-dist", dest="distributed", action="store_true",
+                    help="multi-process pair partitioning via"
+                         " jax.distributed (set JAX_COORDINATOR_ADDRESS /"
+                         " JAX_NUM_PROCESSES / JAX_PROCESS_ID)")
 
     # ---- register (frog.cxx:13-66)
     re = sub.add_parser("register", help="groupwise optimizer")
@@ -125,6 +129,10 @@ def build_parser() -> argparse.ArgumentParser:
     re.add_argument("-j", dest="single_json", action="store_true")
     re.add_argument("-ts", dest="transform_subdir", default="transforms")
     re.add_argument("-o", dest="output", default=".")
+    re.add_argument("-devices", "-nt", dest="devices", type=int, default=None,
+                    help="shard the image axis over this many devices"
+                         " (the analog of the reference's -nt thread count,"
+                         " frog.cxx:143-145)")
 
     # ---- register-one (tools/register.py)
     ro = sub.add_parser("register-one", help="register vs frozen group")
@@ -304,7 +312,12 @@ def main(argv=None):
                 f"intra_op_parallelism_threads={args.n_threads}",
             )
         files, rigids = parse_match_list(args.input)
-        match_stage(
+        stage = match_stage
+        if args.distributed:
+            from .pipeline import match_stage_distributed
+
+            stage = match_stage_distributed
+        stage(
             files,
             MatchParams(
                 max_distance=args.distance,
@@ -376,6 +389,7 @@ def main(argv=None):
             constraints=constraints,
             fixed_transforms_dir=args.fixed_dir,
             output_dir=args.output,
+            devices=args.devices,
         )
     elif cmd == "register-one":
         from .ops.surf3d import SurfParams

@@ -38,6 +38,10 @@ def initialize(
     coordinator = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coordinator:
         return False
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:  # already initialized
+        return True
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes

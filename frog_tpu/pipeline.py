@@ -165,6 +165,7 @@ def match_stage(
     transform_prefix: str | None = None,
     rigids: np.ndarray | None = None,
     max_files: int | None = None,
+    pairs: list | None = None,
     skip_existing: bool = False,
     verbose: bool = True,
 ) -> PairGraph:
@@ -205,13 +206,58 @@ def match_stage(
     names = [os.path.basename(f) for f in keypoint_files]
     graph = match_graph(
         kps, params, names=names, target=target, positions=positions,
-        ref_translations=rigids, progress=verbose,
+        ref_translations=rigids, pairs=pairs, progress=verbose,
     )
     if out_file:
         write_pairs(out_file, graph)
     if verbose:
         print(f"{graph.n_matches} matches -> {out_file}")
     return graph
+
+
+def match_stage_distributed(
+    keypoint_files: list,
+    params: MatchParams,
+    out_file: str = "pairs.bin",
+    target: int | None = None,
+    verbose: bool = True,
+    **kwargs,
+) -> PairGraph | None:
+    """Multi-process matching: each jax.distributed process computes its
+    slice of the pair list (the TPU-native analog of the reference's
+    dynamic OpenMP schedule over pairs, match.cpp:638-652), writes
+    ``<out>.part<pid>``, and process 0 merges after a barrier.
+
+    Returns the merged graph on process 0, None elsewhere.
+    """
+    import jax
+
+    from .parallel.distributed import (
+        initialize,
+        merge_pair_graphs,
+        partition_pairs,
+    )
+
+    initialize()
+    pid, nproc = jax.process_index(), jax.process_count()
+    pairs = partition_pairs(len(keypoint_files), pid, nproc, target)
+    part = f"{out_file}.part{pid}"
+    match_stage(
+        keypoint_files, params, out_file=part, target=target, pairs=pairs,
+        verbose=verbose, **kwargs,
+    )
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("frog-tpu-match-parts")
+    if pid != 0:
+        return None
+    graphs = [read_pairs(f"{out_file}.part{p}") for p in range(nproc)]
+    merged = merge_pair_graphs(graphs)
+    write_pairs(out_file, merged)
+    if verbose:
+        print(f"{merged.n_matches} matches ({nproc} processes) -> {out_file}")
+    return merged
 
 
 def load_landmark_dir(path: str, invert_xy: bool = True) -> dict:
@@ -247,6 +293,7 @@ def register_stage(
     constraints: dict | None = None,
     fixed_transforms_dir: str | None = None,
     output_dir: str = ".",
+    devices: int | None = None,
 ) -> GroupRegistration:
     fixed_chains = None
     if config.n_fixed and fixed_transforms_dir:
@@ -254,6 +301,11 @@ def register_stage(
             read_transform(os.path.join(fixed_transforms_dir, f"{i}.json"))
             for i in range(config.n_fixed)
         ]
+    mesh = None
+    if devices:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(devices)
     reg = GroupRegistration(
         graph,
         config,
@@ -261,6 +313,7 @@ def register_stage(
         constraint_landmarks=constraints,
         fixed_chains=fixed_chains,
         output_dir=output_dir,
+        mesh=mesh,
     )
     reg.run()
     reg.save_outputs(output_dir)
