@@ -72,23 +72,87 @@ def _box_sum(integral, lo, hi):
 def _haar(integral, center, size):
     """Haar wavelet responses (dx, dy, dz) at voxel ``center`` (..., 3)
     with half-width ``size`` (...,): each response is the difference of two
-    half-boxes of extent size x 2size x 2size."""
-    s = size[..., None]
-    c = center
+    half-boxes of extent size x 2size x 2size.
 
-    def halfbox(axis, sign):
-        lo = c - s
-        hi = c + s
-        mid = c[..., axis]
-        if sign > 0:
-            lo = lo.at[..., axis].set(mid)
-        else:
-            hi = hi.at[..., axis].set(mid)
-        return _box_sum(integral, lo, hi)
+    TPU formulation: the six half-boxes share corners — the 8 outer
+    corners of the full box appear in every axis's halfboxes and each axis
+    adds only its 4 mid-plane corners, so the whole (dx, dy, dz) triple
+    needs 20 integral reads per sample instead of 48.  All reads go
+    through ONE flat 1-D gather (3-index advanced indexing lowers to a
+    ~2x slower gather on TPU):
 
-    dx = halfbox(0, +1) - halfbox(0, -1)
-    dy = halfbox(1, +1) - halfbox(1, -1)
-    dz = halfbox(2, +1) - halfbox(2, -1)
+        dx = sum_{b,c in {-,+}} tau(b,c) [I(x+,Yb,Zc) - 2 I(x0,Yb,Zc)
+                                          + I(x-,Yb,Zc)],  tau = sign(b*c)
+    """
+    dims = integral.shape
+    shape = jnp.asarray([dims[0] - 1, dims[1] - 1, dims[2] - 1], jnp.int32)
+    s = size
+
+    def cl(v, ax):
+        return jnp.clip(v, 0, shape[ax])
+
+    xm, x0, xp = (
+        cl(center[..., 0] - s, 0),
+        cl(center[..., 0], 0),
+        cl(center[..., 0] + s, 0),
+    )
+    ym, y0, yp = (
+        cl(center[..., 1] - s, 1),
+        cl(center[..., 1], 1),
+        cl(center[..., 1] + s, 1),
+    )
+    zm, z0, zp = (
+        cl(center[..., 2] - s, 2),
+        cl(center[..., 2], 2),
+        cl(center[..., 2] + s, 2),
+    )
+
+    flat = integral.reshape(-1)
+    sy, sz = dims[1] * dims[2], dims[2]
+
+    def fidx(x, y, z):
+        return x * sy + y * sz + z
+
+    # 20 distinct corners per sample, each a separate (..., ) flat gather
+    # (one big (..., 20) gather would pad 128x on the lane axis when its
+    # minor dim is sliced — HBM blowup on TPU)
+    def g(x, y, z):
+        return flat[fidx(x, y, z)]
+
+    a_mmm = g(xm, ym, zm)
+    a_mmp = g(xm, ym, zp)
+    a_mpm = g(xm, yp, zm)
+    a_mpp = g(xm, yp, zp)
+    a_pmm = g(xp, ym, zm)
+    a_pmp = g(xp, ym, zp)
+    a_ppm = g(xp, yp, zm)
+    a_ppp = g(xp, yp, zp)
+
+    # tau over the two free axes: (+ - - +) for (mm, mp, pm, pp)
+    def tau4(mm, mp, pm, pp):
+        return mm - mp - pm + pp
+
+    # dx: free axes (y, z); x-mid plane corners
+    mx = tau4(g(x0, ym, zm), g(x0, ym, zp), g(x0, yp, zm), g(x0, yp, zp))
+    dx = (
+        tau4(a_pmm, a_pmp, a_ppm, a_ppp)
+        - 2.0 * mx
+        + tau4(a_mmm, a_mmp, a_mpm, a_mpp)
+    )
+    # dy: free axes (x, z)
+    my = tau4(g(xm, y0, zm), g(xm, y0, zp), g(xp, y0, zm), g(xp, y0, zp))
+    dy = (
+        tau4(a_mpm, a_mpp, a_ppm, a_ppp)
+        - 2.0 * my
+        + tau4(a_mmm, a_mmp, a_pmm, a_pmp)
+    )
+    # dz: free axes (x, y)
+    mz = tau4(g(xm, ym, z0), g(xm, yp, z0), g(xp, ym, z0), g(xp, yp, z0))
+    dz = (
+        tau4(a_mmp, a_mpp, a_pmp, a_ppp)
+        - 2.0 * mz
+        + tau4(a_mmm, a_mpm, a_pmm, a_ppm)
+    )
     return dx, dy, dz
 
 

@@ -131,35 +131,28 @@ def extract_keypoints(
     vol = clamp(vol, params.cmin, params.cmax)
     if params.pad > 0:
         vol = mirror_pad(vol, params.pad)
-    iso = resample_isotropic(vol, params.spacing)
 
-    # Bucket-pad to multiples of 64 (mirror content) so the fused kernel
-    # compiles once per bucket, not once per volume shape.
-    extent = np.asarray(iso.shape)
-    bucket = np.maximum(((extent + 63) // 64) * 64, 64)
-    pad = bucket - extent
-    sym = np.minimum(pad, extent)  # symmetric padding is capped at the size
-    padded = np.pad(iso.data, [(0, int(p)) for p in sym], mode="symmetric")
-    rest = pad - sym
-    if rest.any():
-        padded = np.pad(padded, [(0, int(p)) for p in rest], mode="edge")
-    data = jnp.asarray(padded, jnp.float32)
+    # Resample + bucket-pad (mirror content) in ONE device pass: one
+    # volume upload, one compile per (in, out) shape pair, no volume
+    # readback (resample_to_device).
+    from .resample import resample_to_device
+
+    data, extent, iso_origin = resample_to_device(vol, params.spacing)
+    iso_spacing = np.full(3, float(params.spacing))
 
     mask_vals = None
     if mask is not None:
         # sample the mask on the isotropic grid; keep voxels with mask > 0
         mdata = jnp.asarray(mask.data, jnp.float32)
-        dims = iso.shape
         grids = [
-            (iso.origin[k] + iso.spacing[k] * np.arange(dims[k]) - mask.origin[k])
-            / mask.spacing[k]
+            (iso_origin[k] + iso_spacing[k] * np.arange(data.shape[k])
+             - mask.origin[k]) / mask.spacing[k]
             for k in range(3)
         ]
         cx, cy, cz = jnp.meshgrid(
             *[jnp.asarray(g, jnp.float32) for g in grids], indexing="ij"
         )
         mask_vals = trilinear_sample(mdata, jnp.stack([cx, cy, cz], axis=-1)) > 0
-        mask_vals = jnp.pad(mask_vals, [(0, int(p)) for p in pad])
 
     lobes = tuple(scale_stack_sizes(params.n_octaves))
     top_vals, valid, pos, sigma_vox, lap_top, desc = _extract_device(
@@ -178,7 +171,7 @@ def extract_keypoints(
     keep = np.asarray(valid)
     pos = np.asarray(pos)[keep]
     sigma_vox = np.asarray(sigma_vox)[keep]
-    xyz = iso.origin[None, :] + pos * iso.spacing[None, :]
+    xyz = iso_origin[None, :] + pos * iso_spacing[None, :]
     return Keypoints(
         xyz=xyz.astype(np.float32),
         scale=(sigma_vox * params.spacing).astype(np.float32),

@@ -83,6 +83,61 @@ def resample_isotropic(vol: Volume, spacing: float) -> Volume:
     )
 
 
+@jax.jit
+def _resample_kernel(data, i0x, fx, i0y, fy, i0z, fz):
+    """Separable trilinear resample: three per-axis lerp passes whose
+    index/fraction vectors are RUNTIME arguments — one compile per
+    (in-shape, out-shape) pair instead of one per volume geometry."""
+    arr = data
+    for axis, (i0, f) in enumerate(((i0x, fx), (i0y, fy), (i0z, fz))):
+        lo = jnp.take(arr, i0, axis=axis)
+        hi = jnp.take(arr, jnp.minimum(i0 + 1, arr.shape[axis] - 1), axis=axis)
+        shape = [1, 1, 1]
+        shape[axis] = i0.shape[0]
+        fb = f.reshape(shape)
+        arr = lo * (1.0 - fb) + hi * fb
+    return arr
+
+
+def _reflect(u: np.ndarray, n_in: int) -> np.ndarray:
+    """Fold continuous input coordinates symmetrically into [0, n_in-1]
+    (the device analog of np.pad mode='symmetric' on the output grid)."""
+    if n_in == 1:
+        return np.zeros_like(u)
+    period = 2.0 * (n_in - 1)
+    return (n_in - 1) - np.abs(np.mod(u, period) - (n_in - 1))
+
+
+def resample_to_device(vol: Volume, spacing: float, bucket_multiple: int = 64):
+    """Resample to isotropic ``spacing`` directly ON DEVICE, bucket-padded
+    to ``bucket_multiple`` with mirror-reflected content.
+
+    Returns (device array (bucketed dims), true extent (3,) ints, origin).
+    The whole path is one upload + one jitted kernel whose compilation
+    depends only on the in/out shapes — no per-volume-geometry recompile,
+    no device->host volume readback.
+    """
+    lo, hi = vol.bounds
+    extent = np.maximum(np.floor((hi - lo) / spacing).astype(int) + 1, 1)
+    bucket = np.maximum(((extent + bucket_multiple - 1) // bucket_multiple)
+                        * bucket_multiple, bucket_multiple)
+    idx, frac = [], []
+    for axis in range(3):
+        u = (lo[axis] + spacing * np.arange(bucket[axis]) - vol.origin[axis]) / (
+            vol.spacing[axis]
+        )
+        n_in = vol.data.shape[axis]
+        u = _reflect(u, n_in)
+        i0 = np.clip(np.floor(u).astype(np.int32), 0, max(n_in - 2, 0))
+        idx.append(jnp.asarray(i0))
+        frac.append(jnp.asarray(np.clip(u - i0, 0.0, 1.0).astype(np.float32)))
+    data = _resample_kernel(
+        jnp.asarray(np.asarray(vol.data, np.float32)),
+        idx[0], frac[0], idx[1], frac[1], idx[2], frac[2],
+    )
+    return data, extent, lo
+
+
 def clamp(vol: Volume, cmin: float | None, cmax: float | None) -> Volume:
     if cmin is None and cmax is None:
         return vol

@@ -126,7 +126,17 @@ def extract_stage(
     verbose: bool = True,
 ) -> list:
     """Per-volume keypoint extraction with skip-existing
-    (FROG.py:179-208).  Returns the keypoint file list."""
+    (FROG.py:179-208).  Returns the keypoint file list.
+
+    Host IO (volume read of the NEXT file, keypoint write of the PREVIOUS
+    one) overlaps the current volume's device computation via a small
+    thread pool — the device dispatch is asynchronous, so the host would
+    otherwise idle during the fused extraction kernel.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    work = []  # (index-in-files, out path)
     keypoint_files = []
     for i, f in enumerate(files):
         if f.endswith(".csv.gz"):
@@ -138,18 +148,38 @@ def extract_stage(
             if verbose:
                 print(f"{out} exists, skipping")
             continue
-        t0 = time.time()
+        work.append((i, f, out))
+
+    reads = {}
+
+    def _read(i, f):
         vol = read_volume(f)
         mask = None
         if masks and i < len(masks) and masks[i]:
             mask = read_volume(masks[i])
+        return vol, mask
+
+    pending_write = None
+    for k, (i, f, out) in enumerate(work):
+        if (i, f) not in reads:
+            reads[(i, f)] = pool.submit(_read, i, f)
+        t0 = time.time()
+        vol, mask = reads.pop((i, f)).result()
+        if k + 1 < len(work):  # prefetch the next volume during compute
+            ni, nf, _ = work[k + 1]
+            reads[(ni, nf)] = pool.submit(_read, ni, nf)
         kp = extract_keypoints(vol, surf, mask=mask)
-        write_keypoints(out, kp)
+        if pending_write is not None:
+            pending_write.result()
+        pending_write = pool.submit(write_keypoints, out, kp)
         if verbose:
             print(
                 f"extracted {len(kp)} keypoints from {os.path.basename(f)}"
                 f" in {time.time() - t0:.1f}s -> {out}"
             )
+    if pending_write is not None:
+        pending_write.result()
+    pool.shutdown()
     return keypoint_files
 
 
