@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["integral_volume", "descriptors"]
+__all__ = ["integral_volume", "descriptors", "descriptors_dense", "dense_haar"]
 
 # Subregion sample grid: SAMPLES^3 Haar samples per subregion.
 SAMPLES = 5
@@ -154,6 +154,135 @@ def _haar(integral, center, size):
         + tau4(a_mmm, a_mpm, a_pmm, a_ppm)
     )
     return dx, dy, dz
+
+
+def _window_sum(x, axis, a, b):
+    """Running window sum: out[i] = sum_{j in [i+a, i+b]} x[j], borders
+    truncated (out-of-range j contribute zero)."""
+    c = jnp.cumsum(x, axis=axis)
+    n = x.shape[axis]
+    i_hi = jnp.clip(jnp.arange(n) + b, -1, n - 1)
+    i_lo = jnp.arange(n) + a - 1
+    hi_ok = (jnp.arange(n) + b) >= 0
+    hi = jnp.take(c, jnp.clip(i_hi, 0, n - 1), axis=axis)
+    lo = jnp.take(c, jnp.clip(i_lo, 0, n - 1), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = n
+    hi = jnp.where(hi_ok.reshape(shape), hi, 0.0)
+    lo = jnp.where((i_lo >= 0).reshape(shape), lo, 0.0)
+    return hi - lo
+
+
+def dense_haar(volume: jax.Array, s: int):
+    """Dense Haar response volumes (dx, dy, dz) at half-width ``s``:
+    dx[v] = sum(box x in [v, v+s-1]) - sum(box x in [v-s, v-1]) with the
+    free axes summed over [v-s, v+s-1] — exactly the per-sample
+    integral-volume Haar (see _haar), evaluated at EVERY voxel by
+    separable window sums (streaming VPU passes, no gathers)."""
+
+    def wfree(x, axis):
+        return _window_sum(x, axis, -s, s - 1)
+
+    def wprobe(x, axis):
+        return _window_sum(x, axis, 0, s - 1) - _window_sum(x, axis, -s, -1)
+
+    dx = wprobe(wfree(wfree(volume, 1), 2), 0)
+    dy = wprobe(wfree(wfree(volume, 0), 2), 1)
+    dz = wprobe(wfree(wfree(volume, 0), 1), 2)
+    return dx, dy, dz
+
+
+def _sample_offsets():
+    """Sample-lattice offsets (M, 3) in sigma units, their Gaussian
+    weights (M,), and subregion ids (M,)."""
+    sub_centers = jnp.asarray([-SUBREGION_SIGMA, SUBREGION_SIGMA], jnp.float32)
+    within = (
+        (jnp.arange(SAMPLES, dtype=jnp.float32) - (SAMPLES - 1) / 2)
+        * (2 * SUBREGION_SIGMA / SAMPLES)
+    )
+    offs = sub_centers[:, None] + within[None, :]
+    ox = offs.reshape(-1)
+    grid = jnp.stack(jnp.meshgrid(ox, ox, ox, indexing="ij"), axis=-1)
+    flat_offs = grid.reshape(-1, 3)
+    r2 = jnp.sum(flat_offs * flat_offs, axis=-1)
+    gw = jnp.exp(-r2 / (2.0 * WEIGHT_SIGMA**2))
+    sub = (
+        (flat_offs[:, 0] > 0).astype(jnp.int32) * 4
+        + (flat_offs[:, 1] > 0).astype(jnp.int32) * 2
+        + (flat_offs[:, 2] > 0).astype(jnp.int32)
+    )
+    return flat_offs, gw, sub
+
+
+def _pool_descriptor(dx, dy, dz, gw, sub):
+    """(K, M) Haar samples -> Gaussian-weighted per-subregion sums ->
+    normalized 48-float descriptors."""
+    k = dx.shape[0]
+    dx = dx * gw
+    dy = dy * gw
+    dz = dz * gw
+    one_hot = jax.nn.one_hot(sub, 8, dtype=jnp.float32)
+
+    def pool(v):
+        return jnp.einsum(
+            "km,mr->kr", v, one_hot, precision=jax.lax.Precision.HIGHEST
+        )
+
+    feats = jnp.stack(
+        [
+            pool(dx), pool(jnp.abs(dx)),
+            pool(dy), pool(jnp.abs(dy)),
+            pool(dz), pool(jnp.abs(dz)),
+        ],
+        axis=-1,
+    )
+    desc = feats.reshape(k, 48)
+    norm = jnp.sqrt(jnp.sum(desc * desc, axis=1, keepdims=True))
+    return desc / jnp.maximum(norm, 1e-12)
+
+
+def descriptors_dense(
+    volume: jax.Array,
+    positions: jax.Array,  # (K, 3) f32 voxel coords
+    sigmas: jax.Array,  # (K,) voxels
+    scale_idx: jax.Array,  # (K,) i32 index into lobes
+    lobes: tuple,
+    dtype=jnp.bfloat16,
+):
+    """48-float descriptors via per-scale DENSE Haar volumes + 3 gathers
+    per sample (the 20-corner integral-volume path gathers 20): the Haar
+    half-width is a per-scale constant, so dx/dy/dz are precomputed for
+    every voxel by separable window sums and each sample just reads its 3
+    values.  |d.| channels are elementwise on the gathered samples.
+    ``dtype``=bf16 halves the gather bandwidth; descriptors are
+    normalized sums of hundreds of samples, so the 0.4% relative error is
+    noise (validated by the matching-power metrics)."""
+    sizes = [max(int(round(1.2 * 3 * m / 9.0)), 1) for m in lobes]
+    uniq = sorted(set(sizes))
+    slot = {s: i for i, s in enumerate(uniq)}
+    scale_to_slot = jnp.asarray([slot[s] for s in sizes], jnp.int32)
+
+    stacks = [dense_haar(volume, s) for s in uniq]
+    sx = jnp.stack([t[0] for t in stacks]).astype(dtype).reshape(len(uniq), -1)
+    sy = jnp.stack([t[1] for t in stacks]).astype(dtype).reshape(len(uniq), -1)
+    sz = jnp.stack([t[2] for t in stacks]).astype(dtype).reshape(len(uniq), -1)
+
+    flat_offs, gw, sub = _sample_offsets()
+    pos = positions[:, None, :] + sigmas[:, None, None] * flat_offs[None]
+    dims = jnp.asarray(volume.shape, jnp.int32)
+    centers = jnp.clip(jnp.round(pos).astype(jnp.int32), 0, dims - 1)
+    vox = (
+        centers[..., 0] * (volume.shape[1] * volume.shape[2])
+        + centers[..., 1] * volume.shape[2]
+        + centers[..., 2]
+    )  # (K, M)
+    nvox = volume.shape[0] * volume.shape[1] * volume.shape[2]
+    idx = scale_to_slot[scale_idx][:, None] * nvox + vox
+
+    dx = sx.reshape(-1)[idx].astype(jnp.float32)
+    dy = sy.reshape(-1)[idx].astype(jnp.float32)
+    dz = sz.reshape(-1)[idx].astype(jnp.float32)
+    return _pool_descriptor(dx, dy, dz, gw, sub)
 
 
 @partial(jax.jit, static_argnames=())

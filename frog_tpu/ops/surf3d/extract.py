@@ -117,8 +117,9 @@ def _extract_device(
     if descriptor == "raw":
         desc = _raw_descriptor_samples(data, pos, sigma_vox, raw_radius)
     else:
-        integral = integral_volume(data)
-        desc = descriptors(integral, pos, sigma_vox)
+        from .descriptor import descriptors_dense
+
+        desc = descriptors_dense(data, pos, sigma_vox, s_idx, lobes)
 
     return top_vals, valid, pos, sigma_vox, lap_top, desc
 
