@@ -210,6 +210,12 @@ def build_parser() -> argparse.ArgumentParser:
     qa.add_argument("input")
     qa.add_argument("-o", dest="output", default="output.nii.gz")
 
+    # ---- view (js/pointsViewer.js functional core)
+    vw = sub.add_parser("view", help="self-contained HTML group viewer")
+    vw.add_argument("run_dir", help="run directory with pairs.bin + transforms/")
+    vw.add_argument("-o", dest="output", default=None)
+    vw.add_argument("-n", dest="max_points", type=int, default=5000)
+
     # ---- register2 (tools/register2volumes.py)
     r2 = sub.add_parser("register2", help="pairwise registration of 2 volumes")
     r2.add_argument("volume1")
@@ -549,6 +555,13 @@ def main(argv=None):
             out = label_contour(vol)
         write_volume(args.output, out)
         print(f"written {args.output}")
+    elif cmd == "view":
+        from .tools.viewer import export_group_viewer
+
+        out = export_group_viewer(
+            args.run_dir, output=args.output, max_points=args.max_points
+        )
+        print(f"written {out}")
     elif cmd == "register2":
         from .ops.surf3d import SurfParams
         from .registration import GroupConfig

@@ -192,3 +192,23 @@ def test_cli_extract_and_match(volume_dir, tmp_path):
         assert os.path.exists("transforms/0.json")
     finally:
         os.chdir(cwd)
+
+
+def test_cli_view(pipeline_run):
+    """frog-tpu view writes a self-contained HTML page embedding every
+    image's transformed keypoint cloud (L5 viewer, js/pointsViewer.js)."""
+    d, shifts, out = pipeline_run
+    rc = main(["view", str(out), "-o", str(out / "view.html"), "-n", "500"])
+    assert rc == 0
+    html = (out / "view.html").read_text()
+    assert "<canvas" in html and "webgl" in html
+    start = html.index("const DATA = ") + len("const DATA = ")
+    data = json.loads(html[start : html.index(";\n", start)])
+    assert len(data) == 3
+    import base64
+
+    for entry in data:
+        xyz = np.frombuffer(base64.b64decode(entry["xyz"]), "<f4")
+        assert xyz.shape[0] == entry["count"] * 3
+        assert entry["count"] > 50
+        assert np.isfinite(xyz).all()
