@@ -24,7 +24,7 @@ from ..transforms.bspline import BSpline, grid_from_bbox
 from ..transforms.chain import TransformChain
 from . import kernels
 from .state import build_group_state, GroupArrays, GroupMeta
-from .stats import estimate_mixture, histogram
+from .stats import estimate_mixture
 
 __all__ = ["GroupConfig", "GroupRegistration"]
 
@@ -74,6 +74,10 @@ class GroupConfig:
     # deterministic) or "reservoir" (reproduces the reference's random
     # acceptance sampling, stats.h:36-76)
     em_sampling: str = "stride"
+    # Static device-histogram width (bin = 1 unit, stats.cxx:121-131);
+    # distances beyond the last bin clip into it, the host trims trailing
+    # zero columns so the CSV output matches the reference's dynamic width.
+    histogram_bins: int = 2048
 
 
 @dataclasses.dataclass
@@ -123,6 +127,7 @@ class GroupRegistration:
             self.arrays = shard_group_arrays(self.arrays, mesh)
         self.movable = jnp.asarray(self.meta.movable)
         self._lm_device = self._build_landmark_indices()
+        self._last_report = None
         self.measures: list[Measure] = []
         self.stats_record: dict = {}
         # Host-side chains (one per image); fixed images keep their loaded
@@ -140,7 +145,12 @@ class GroupRegistration:
     def _apply_fixed_chains(self, fixed_chains):
         """Bake fixed images' saved transforms into xyz
         (imageGroup.cxx:1419-1456)."""
-        xyz = np.array(self.arrays.xyz)
+        xyz = np.array(self.meta.xyz_host)
+        if xyz.shape[0] < self.arrays.n_images:  # mesh-padded image axis
+            pad = np.zeros(
+                (self.arrays.n_images - xyz.shape[0], *xyz.shape[1:]), xyz.dtype
+            )
+            xyz = np.concatenate([xyz, pad], axis=0)
         for i in range(self.config.n_fixed):
             chain = self.chains[i]
             if chain is None:
@@ -148,15 +158,19 @@ class GroupRegistration:
                 self.chains[i] = chain
             pts = jnp.asarray(xyz[i])
             xyz[i] = np.asarray(chain(pts))
+        self.meta.xyz_host = xyz
         self.arrays = dataclasses.replace(
             self.arrays, xyz=jnp.asarray(xyz), xyz2=jnp.asarray(xyz)
         )
 
     def _setup_linear_transforms(self):
-        """Anchor-alignment translation init (imageGroup.cxx:806-848)."""
-        xyz = np.asarray(self.arrays.xyz)
-        valid = np.asarray(self.arrays.point_valid)
-        n = xyz.shape[0]
+        """Anchor-alignment translation init (imageGroup.cxx:806-848).
+
+        Works off the host mirror of the initial coordinates — no device
+        readback (a remote-TPU round trip) for a host-side loop."""
+        xyz = self.meta.xyz_host
+        valid = self.meta.point_valid_host
+        n = self.arrays.n_images
         anchors = np.zeros((n, 3))
         c = np.asarray(self.config.linear_anchor)
         for i in range(self.n_real):
@@ -267,13 +281,14 @@ class GroupRegistration:
             len(self.meta.landmarks),
         )
 
-    def _record_chunk(self, es, stats, flags=None):
-        """Record per-iteration measures from a chunk's device outputs."""
-        es = np.asarray(es)
-        stats = np.asarray(stats)
-        n = len(es)
-        if flags is not None:
-            n = int(np.asarray(flags).sum())
+    def _record_chunk(self, measures):
+        """Record per-iteration measures from a chunk's packed (K, 5)
+        device output [E, ok, lm_mean, lm_max, lm_std] — ONE device->host
+        transfer per stage chunk."""
+        measures = np.asarray(measures)
+        es = measures[:, 0]
+        stats = measures[:, 2:5]
+        n = int(measures[:, 1].sum())
         for k in range(n):
             e = float(es[k])
             if np.isnan(e):
@@ -363,14 +378,45 @@ class GroupRegistration:
                 f"nSamples={n},max={mx:g},mean={mean:g},stdev={std:g}"
             )
 
+    # ------------------------------------------------------------ state report
+
+    def _refresh_report(self):
+        """One dispatch + ONE device->host transfer for everything the
+        host needs between stages: movable/global bounding boxes, inlier
+        census, EM parameters, distance histograms."""
+        cfg = self.config
+        n = self.arrays.n_images
+        b = cfg.histogram_bins
+        vec = np.asarray(
+            _jit_state_report(
+                self.arrays,
+                self.movable,
+                jnp.float32(cfg.inlier_threshold),
+                b,
+            )
+        )
+        census = vec[12 : 12 + 3 * n].reshape(n, 3)
+        em = vec[12 + 3 * n : 12 + 6 * n].reshape(n, 3)
+        hist = vec[12 + 6 * n :].reshape(n, b)
+        # trim trailing all-zero bins to match the reference's dynamic width
+        nz = np.nonzero(hist.any(axis=0))[0]
+        hist = hist[:, : (nz[-1] + 1)] if nz.size else hist[:, :1]
+        self._last_report = {
+            "bbox_mov": (vec[0:3].astype(np.float64), vec[3:6].astype(np.float64)),
+            "bbox_all": (vec[6:9].astype(np.float64), vec[9:12].astype(np.float64)),
+            "census": census.astype(np.int64),
+            "em": em,
+            "hist": hist.astype(np.int64),
+        }
+        return self._last_report
+
     def count_inliers(self):
         """Inlier/outlier census + per-image stats record
-        (imageGroup.cxx:988-1060).  Counting runs on device
-        (kernels.inlier_census); only (N, 3) ints + EM params come back."""
-        census = np.asarray(
-            _jit_census(self.arrays, jnp.float32(self.config.inlier_threshold))
-        )
-        em_np = np.asarray(self.arrays.em)
+        (imageGroup.cxx:988-1060).  Counting runs on device; the numbers
+        arrive with the packed state report."""
+        report = self._last_report or self._refresh_report()
+        census = report["census"]
+        em_np = report["em"]
         images = []
         n_pairs = n_in = n_out = 0
         for i in range(self.n_real):
@@ -465,7 +511,7 @@ class GroupRegistration:
         total = cfg.linear_iterations
         if it0 >= total:
             return
-        affine, xyz2, em, es, flags, stats = _jit_linear_stage(
+        affine, xyz2, em, measures = _jit_linear_stage(
             self.arrays,
             self.movable,
             jnp.float32(cfg.linear_alpha),
@@ -483,7 +529,7 @@ class GroupRegistration:
         self.arrays = dataclasses.replace(
             self.arrays, affine=affine, xyz2=xyz2, em=em
         )
-        self._record_chunk(es, stats, flags)
+        self._record_chunk(measures)
         self._display_debug()
         self._maybe_checkpoint("linear", it=total)
 
@@ -495,7 +541,8 @@ class GroupRegistration:
             self.chains[i] = TransformChain(
                 transforms=(Affine(matrix=self.arrays.affine[i]),)
             )
-        self.linear_histograms = self._current_histograms()
+        self._refresh_report()
+        self.linear_histograms = self._last_report["hist"]
 
     def _run_deformable(self):
         cfg = self.config
@@ -510,7 +557,7 @@ class GroupRegistration:
     def _finish(self):
         if self.config.deformable_levels:
             self.count_inliers()
-        self.final_histograms = self._current_histograms()
+        self.final_histograms = self._last_report["hist"]
         if "images" not in self.stats_record:
             self.count_inliers()
         self.stats_record["bbox"] = self._bbox_record()
@@ -545,7 +592,8 @@ class GroupRegistration:
         cfg = self.config
         n = self.arrays.n_images
         size = cfg.initial_grid_size / (2.0**level)
-        lo, hi = self._movable_bbox()
+        report = self._last_report or self._refresh_report()
+        lo, hi = report["bbox_mov"]
         dims, origin, spacing = grid_from_bbox(lo, hi, size, margin=cfg.bbox_margin)
         if cfg.verbose:
             print(
@@ -586,7 +634,7 @@ class GroupRegistration:
             # trip short-circuits the rest of the scan, and the relaunch
             # with a fresh grid reuses the same executable (static n_steps,
             # dynamic it0/n_live).
-            new_coeffs, xyz2, em, es, flags, stats = _jit_deformable_stage(
+            new_coeffs, xyz2, em, measures = _jit_deformable_stage(
                 self.arrays,
                 self.movable,
                 coeffs,
@@ -607,8 +655,9 @@ class GroupRegistration:
                 self._lm_device,
                 self._em_reservoir(),
                 self.n_real,
+                self.meta.has_constraints,
             )
-            n_done = self._record_chunk(es, stats, flags)
+            n_done = self._record_chunk(measures)
             self._display_debug()
             coeffs = new_coeffs
             self.arrays = dataclasses.replace(self.arrays, xyz2=xyz2, em=em)
@@ -648,6 +697,7 @@ class GroupRegistration:
 
         self._freeze_grid(coeffs, origin, spacing)
         self._bake_bspline(coeffs, basis)
+        self._refresh_report()
         if self.config.verbose:
             print(f"Number of grids for this level: {n_grids}")
         self._last_level_geometry = (dims, origin, spacing)
@@ -656,14 +706,12 @@ class GroupRegistration:
     # --------------------------------------------------------------- plumbing
 
     def _movable_bbox(self):
-        from .state import bounding_box
-
-        return bounding_box(self.arrays, self.meta.movable)
+        report = self._last_report or self._refresh_report()
+        return report["bbox_mov"]
 
     def _bbox_record(self):
-        from .state import bounding_box
-
-        lo, hi = bounding_box(self.arrays, np.ones(self.arrays.n_images, bool))
+        report = self._last_report or self._refresh_report()
+        lo, hi = report["bbox_all"]
         return [list(map(float, lo)), list(map(float, hi))]
 
     def _bake(self):
@@ -675,19 +723,15 @@ class GroupRegistration:
 
     def _freeze_grid(self, coeffs, origin, spacing):
         """Append the current grid's coefficients to every movable image's
-        chain."""
-        coeffs_np = np.asarray(coeffs)
+        chain.  The per-image coefficient slices stay on device — output
+        writers pull them at save time, outside the optimization loop."""
+        origin_d = jnp.asarray(origin, jnp.float32)
+        spacing_d = jnp.asarray(spacing, jnp.float32)
         for i in range(self.config.n_fixed, self.n_real):
             grid = BSpline(
-                coeffs=jnp.asarray(coeffs_np[i]),
-                origin=jnp.asarray(origin, jnp.float32),
-                spacing=jnp.asarray(spacing, jnp.float32),
+                coeffs=coeffs[i], origin=origin_d, spacing=spacing_d
             )
             self.chains[i] = self.chains[i].append(grid)
-
-    def _current_histograms(self):
-        dist = self._link_distances(self.arrays)
-        return histogram(dist, np.asarray(self._link_valid_flat()))
 
     # ---------------------------------------------------------------- outputs
 
@@ -802,6 +846,7 @@ def _jit_linear_stage(
         "lm_n",
         "em_reservoir",
         "n_real",
+        "has_constraints",
     ),
 )
 def _jit_deformable_stage_impl(
@@ -827,6 +872,7 @@ def _jit_deformable_stage_impl(
     lm_n,
     em_reservoir,
     n_real,
+    has_constraints,
 ):
     lm = None if lm_flat is None else (lm_flat, lm_seg, lm_n)
     return kernels.deformable_stage(
@@ -850,6 +896,7 @@ def _jit_deformable_stage_impl(
         lm,
         em_reservoir,
         n_real,
+        has_constraints,
     )
 
 
@@ -874,6 +921,7 @@ def _jit_deformable_stage(
     lm,
     em_reservoir=0,
     n_real=None,
+    has_constraints=True,
 ):
     lm_flat, lm_seg, lm_n = (None, None, 0) if lm is None else lm
     return _jit_deformable_stage_impl(
@@ -899,7 +947,13 @@ def _jit_deformable_stage(
         lm_n,
         em_reservoir,
         n_real,
+        has_constraints,
     )
+
+
+@partial(jax.jit, static_argnames=("n_bins",))
+def _jit_state_report(arrays, movable, inlier_threshold, n_bins):
+    return kernels.state_report(arrays, movable, inlier_threshold, n_bins)
 
 
 @partial(jax.jit, static_argnames=("dims",))

@@ -25,8 +25,16 @@ TPU-first design notes (profiled on a v5e chip):
   link -> point reductions are dense sums over the K axis — no scatter,
   no cumsum, and the source-point lookup is a broadcast.  Profiled on the
   TPU this runs the link pass ~3x faster than sorted-CSR + cumsum.
-* The EM-parameter lookup for link destinations is a one-hot matmul over
-  the (small) image axis instead of a row gather.
+* The destination gather is the per-iteration floor (~3 ns per index on a
+  v5e, independent of row width up to 128 lanes), so each iteration does
+  exactly ONE gather: destination positions and the destination image's
+  EM parameters ride in the same widened row (``_dst_table``), replacing
+  the separate one-hot EM lookup.
+* ``lax.cond`` nesting is poison: XLA hoists an inner conditional (the
+  every-10th-iteration EM re-estimate) out of the outer alive-branch and
+  runs its full body — gather included — every single scan step (profiled
+  3x the stage cost).  The stage scans therefore use *sibling* top-level
+  conds: one for the EM cadence, one for the live update.
 
 The per-image OpenMP loops of the reference become the leading array axis;
 the cross-image reductions (energy sums, grid mean) become plain ``sum``
@@ -47,12 +55,14 @@ __all__ = [
     "bspline_apply_sep",
     "link_geometry",
     "link_weights",
+    "link_pass",
     "linear_update",
     "deformable_update",
     "linear_stage",
     "deformable_stage",
     "em_reestimate",
     "inlier_census",
+    "state_report",
 ]
 
 _HI = jax.lax.Precision.HIGHEST
@@ -158,6 +168,8 @@ def link_weights(arrays, dist):
 
     The destination image's EM parameters are fetched with a one-hot
     matmul over the (small) image axis — a gather-free lane-friendly op.
+    (Standalone form for one-shot callers; the per-iteration path uses
+    ``link_pass``, which folds the EM lookup into the position gather.)
     """
     n, p, _ = arrays.xyz2.shape
     prob_a = inlier_probability(dist, arrays.em[:, None, None, :])
@@ -167,6 +179,33 @@ def link_weights(arrays, dist):
     prob_b = inlier_probability(dist, em_b)
     w = jnp.minimum(prob_a, prob_b)
     return jnp.where(arrays.link_valid, w, 0.0)
+
+
+def _dst_table(xyz2, em):
+    """Widened gather table: row = [x, y, z, c1, c2, ratio] per point.
+
+    The gather cost on TPU is per *index*, not per byte (row width is free
+    up to the 128-lane tile), so packing the destination image's EM
+    parameters next to its position makes the EM lookup free."""
+    n, p, _ = xyz2.shape
+    em_rows = jnp.broadcast_to(em[:, None, :], (n, p, 3))
+    return jnp.concatenate([xyz2, em_rows], axis=-1).reshape(n * p, 6)
+
+
+def link_pass(arrays, xyz2=None, em=None):
+    """The fused per-iteration link pass: ONE gather yields destination
+    positions and EM parameters; returns (pA, diff, dist, w) with w = 0 on
+    padding (imageGroup.cxx:1084-1100)."""
+    xyz2 = arrays.xyz2 if xyz2 is None else xyz2
+    em = arrays.em if em is None else em
+    g = _dst_table(xyz2, em)[arrays.link_dst]  # (N, P, K, 6)
+    pA = xyz2[:, :, None, :]
+    diff = g[..., :3] - pA
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    prob_a = inlier_probability(dist, em[:, None, None, :])
+    prob_b = inlier_probability(dist, g[..., 3:6])
+    w = jnp.minimum(prob_a, prob_b)
+    return pA, diff, dist, jnp.where(arrays.link_valid, w, 0.0)
 
 
 def inlier_census(arrays, inlier_threshold: float):
@@ -191,8 +230,7 @@ def linear_update(arrays, movable, alpha: float, use_scale: bool):
     Returns (new_affine (N,4,4), E) with E = sqrt(sum w^2 d^2 / sum w^2)
     over movable images.
     """
-    pA, diff, dist = link_geometry(arrays)
-    w = link_weights(arrays, dist)
+    pA, diff, dist, w = link_pass(arrays)
     pB = pA + diff
 
     w2 = w * w
@@ -240,12 +278,16 @@ def deformable_update(
     constraint_weight: float,
     subtract_mean: bool,
     n_real: int | None = None,
+    has_constraints: bool = True,
 ):
     """One deformable iteration: candidate coefficients + diffeo guard.
 
     ``n_real`` is the true image count when the image axis is padded for
     mesh divisibility (parallel.mesh.pad_group) — it is the hubless-mean
     divisor (imageGroup.cxx:417); defaults to the array dimension.
+    ``has_constraints`` False (static) skips the hard-link block — the
+    padded hard table costs a full extra destination gather per iteration
+    even when every slot is invalid.
 
     Faithful to imageGroup.cxx:234-472.  Returns
     (candidate (N,...,3), n_big int32, E float32); the caller commits the
@@ -255,8 +297,7 @@ def deformable_update(
     """
     n, dx, dy, dz, _ = coeffs.shape
 
-    pA, diff, dist = link_geometry(arrays)
-    w = link_weights(arrays, dist)
+    pA, diff, dist, w = link_pass(arrays)
     w2 = w * w
     w2 = jnp.where(w < inlier_threshold, 0.0, w2)  # imageGroup.cxx:271
 
@@ -268,15 +309,18 @@ def deformable_update(
     s_disp = jnp.sum(w2[..., None] * diff, axis=2)  # (N, P, 3)
     s_weight = jnp.sum(w2, axis=2)  # (N, P)
 
-    # hard landmark constraints (imageGroup.cxx:282-297)
-    hw2 = jnp.where(arrays.hard_valid, constraint_weight * constraint_weight, 0.0)
-    hB = _gather_dst(arrays.xyz2, arrays.hard_dst)
-    hdiff = hB - arrays.xyz2[:, :, None, :]
-    hdist2 = jnp.sum(hdiff * hdiff, axis=-1)
-    s_dist = s_dist + jnp.sum(mov * jnp.sum(hw2 * hdist2, axis=(1, 2)))
-    s_weight_tot = s_weight_tot + jnp.sum(mov * jnp.sum(hw2, axis=(1, 2)))
-    s_disp = s_disp + jnp.sum(hw2[..., None] * hdiff, axis=2)
-    s_weight = s_weight + jnp.sum(hw2, axis=2)
+    if has_constraints:
+        # hard landmark constraints (imageGroup.cxx:282-297)
+        hw2 = jnp.where(
+            arrays.hard_valid, constraint_weight * constraint_weight, 0.0
+        )
+        hB = _gather_dst(arrays.xyz2, arrays.hard_dst)
+        hdiff = hB - arrays.xyz2[:, :, None, :]
+        hdist2 = jnp.sum(hdiff * hdiff, axis=-1)
+        s_dist = s_dist + jnp.sum(mov * jnp.sum(hw2 * hdist2, axis=(1, 2)))
+        s_weight_tot = s_weight_tot + jnp.sum(mov * jnp.sum(hw2, axis=(1, 2)))
+        s_disp = s_disp + jnp.sum(hw2[..., None] * hdiff, axis=2)
+        s_weight = s_weight + jnp.sum(hw2, axis=2)
 
     sums = jnp.concatenate([s_disp, s_weight[..., None]], axis=-1)
 
@@ -418,42 +462,52 @@ def linear_stage(
     or past the dynamic ``n_live`` are no-ops, so resuming from a
     checkpoint reuses the same compiled executable.
 
-    Returns (affine, xyz2, em, es (K,), flags (K,), lm_stats (K,3)); flags
-    marks live steps (prefix-true).
+    The EM cond and the update cond are SIBLINGS in the scan body, never
+    nested — XLA hoists nested conditionals and would run the EM body
+    (gather included) every step (see module docstring).
+
+    Returns (affine, xyz2, em, measures (K, 5)) with measure rows
+    [E, ok, lm_mean, lm_max, lm_std]; ok marks live steps (prefix-true).
     """
     zero3 = jnp.zeros(3)
 
-    def live(affine, xyz2, em, i):
+    def body(carry, i):
+        affine, xyz2, em = carry
+        alive = i < n_live
         em = jax.lax.cond(
-            (it0 + i) % stat_interval == 0,
+            alive & ((it0 + i) % stat_interval == 0),
             lambda: em_reestimate(
                 arrays, xyz2, em, em_iters, em_epsilon, em_stride,
                 reservoir_cap=em_reservoir, step=it0 + i,
             ),
             lambda: em,
         )
-        a = _dc.replace(arrays, affine=affine, xyz2=xyz2, em=em)
-        new_affine, e = linear_update(a, movable, alpha, use_scale)
-        new_xyz2 = transform_points_affine(new_affine, arrays.xyz)
-        stats = landmark_device_stats(new_xyz2, *lm) if lm is not None else zero3
-        return new_affine, new_xyz2, em, e, stats
 
-    def body(carry, i):
-        affine, xyz2, em = carry
-        alive = i < n_live
-        affine, xyz2, em, e, stats = jax.lax.cond(
+        def live():
+            a = _dc.replace(arrays, affine=affine, xyz2=xyz2, em=em)
+            new_affine, e = linear_update(a, movable, alpha, use_scale)
+            new_xyz2 = transform_points_affine(new_affine, arrays.xyz)
+            stats = (
+                landmark_device_stats(new_xyz2, *lm) if lm is not None else zero3
+            )
+            return new_affine, new_xyz2, e, stats
+
+        affine, xyz2, e, stats = jax.lax.cond(
             alive,
-            lambda: live(affine, xyz2, em, i),
-            lambda: (affine, xyz2, em, jnp.float32(0.0), zero3),
+            live,
+            lambda: (affine, xyz2, jnp.float32(0.0), zero3),
         )
-        return (affine, xyz2, em), (e, alive, stats)
+        meas = jnp.concatenate(
+            [e[None], alive.astype(jnp.float32)[None], stats]
+        )
+        return (affine, xyz2, em), meas
 
-    (affine, xyz2, em), (es, flags, stats) = jax.lax.scan(
+    (affine, xyz2, em), measures = jax.lax.scan(
         body,
         (arrays.affine, arrays.xyz2, arrays.em),
         jnp.arange(n_steps, dtype=jnp.int32),
     )
-    return affine, xyz2, em, es, flags, stats
+    return affine, xyz2, em, measures
 
 
 def deformable_stage(
@@ -477,62 +531,127 @@ def deformable_stage(
     lm=None,
     em_reservoir=0,
     n_real=None,
+    has_constraints=True,
 ):
     """Run up to a whole deformable level (``n_steps`` iterations) in ONE
-    dispatch, EM included (see linear_stage).
+    dispatch, EM included (see linear_stage; same sibling-cond structure).
 
-    Returns (coeffs, xyz2, em, es (K,), ok_flags (K,), lm_stats (K,3)).
-    ok_flags[i] False means iteration i tripped the diffeomorphism guard
-    (or lies at/past ``n_live``); state reflects everything before the
-    trip (the reject discards its update, imageGroup.cxx:97-115), and all
-    later steps short-circuit to no-ops — so a post-trip relaunch with a
-    fresh grid reuses the same executable via ``it0``/``n_live``.
+    Returns (coeffs, xyz2, em, measures (K, 5)) with measure rows
+    [E, ok, lm_mean, lm_max, lm_std].  ok[i] False means iteration i
+    tripped the diffeomorphism guard (or lies at/past ``n_live``); state
+    reflects everything before the trip (the reject discards its update,
+    imageGroup.cxx:97-115), and all later steps short-circuit to no-ops —
+    so a post-trip relaunch with a fresh grid reuses the same executable
+    via ``it0``/``n_live``.
     """
     zero3 = jnp.zeros(3)
 
-    def live(coeffs, xyz2, em, i):
+    def body(carry, i):
+        coeffs, xyz2, em, dead = carry
+        alive = ~dead & (i < n_live)
         em = jax.lax.cond(
-            (it0 + i) % stat_interval == 0,
+            alive & ((it0 + i) % stat_interval == 0),
             lambda: em_reestimate(
                 arrays, xyz2, em, em_iters, em_epsilon, em_stride,
                 reservoir_cap=em_reservoir, step=it0 + i,
             ),
             lambda: em,
         )
-        a = _dc.replace(arrays, xyz2=xyz2, em=em)
-        cand, n_big, e = deformable_update(
-            a,
-            movable,
-            coeffs,
-            basis,
-            limit,
-            alpha,
-            inlier_threshold,
-            constraint_weight,
-            subtract_mean,
-            n_real,
-        )
-        ok = (n_big == 0) if guarantee else jnp.bool_(True)
-        new_coeffs = jnp.where(ok, cand, coeffs)
-        new_xyz2 = jnp.where(
-            ok, bspline_apply_sep(new_coeffs, basis, arrays.xyz), xyz2
-        )
-        stats = landmark_device_stats(new_xyz2, *lm) if lm is not None else zero3
-        return new_coeffs, new_xyz2, em, ok, e, stats
 
-    def body(carry, i):
-        coeffs, xyz2, em, dead = carry
-        alive = ~dead & (i < n_live)
-        coeffs, xyz2, em, ok, e, stats = jax.lax.cond(
+        def live():
+            a = _dc.replace(arrays, xyz2=xyz2, em=em)
+            cand, n_big, e = deformable_update(
+                a,
+                movable,
+                coeffs,
+                basis,
+                limit,
+                alpha,
+                inlier_threshold,
+                constraint_weight,
+                subtract_mean,
+                n_real,
+                has_constraints,
+            )
+            ok = (n_big == 0) if guarantee else jnp.bool_(True)
+            new_coeffs = jnp.where(ok, cand, coeffs)
+            new_xyz2 = jnp.where(
+                ok, bspline_apply_sep(new_coeffs, basis, arrays.xyz), xyz2
+            )
+            stats = (
+                landmark_device_stats(new_xyz2, *lm) if lm is not None else zero3
+            )
+            return new_coeffs, new_xyz2, ok, e, stats
+
+        coeffs, xyz2, ok, e, stats = jax.lax.cond(
             alive,
-            lambda: live(coeffs, xyz2, em, i),
-            lambda: (coeffs, xyz2, em, jnp.bool_(False), jnp.float32(0.0), zero3),
+            live,
+            lambda: (coeffs, xyz2, jnp.bool_(False), jnp.float32(0.0), zero3),
         )
-        return (coeffs, xyz2, em, dead | (alive & ~ok)), (alive & ok, e, stats)
+        meas = jnp.concatenate(
+            [e[None], (alive & ok).astype(jnp.float32)[None], stats]
+        )
+        return (coeffs, xyz2, em, dead | (alive & ~ok)), meas
 
-    (coeffs, xyz2, em, _), (flags, es, stats) = jax.lax.scan(
+    (coeffs, xyz2, em, _), measures = jax.lax.scan(
         body,
         (coeffs, arrays.xyz2, arrays.em, jnp.bool_(False)),
         jnp.arange(n_steps, dtype=jnp.int32),
     )
-    return coeffs, xyz2, em, es, flags, stats
+    return coeffs, xyz2, em, measures
+
+
+# -------------------------------------------------------------- state report
+#
+# Everything the host needs between stages, in ONE dispatch returning ONE
+# flat f32 vector (a device->host transfer through the remote tunnel costs
+# a network RTT regardless of size, so the movable/global bounding boxes,
+# the inlier census, the EM parameters and the distance histograms travel
+# together).
+
+def state_report(arrays, movable, inlier_threshold, n_bins, bin_size=1.0):
+    """Pack [bbox_movable(6), bbox_all(6), census(N*3), em(N*3),
+    hist(N*n_bins)] into one flat f32 vector.
+
+    * bounding boxes over the *baked* coordinates (imageGroup.cxx:1513-1527)
+    * census = per-image (pairs, inliers, outliers) (imageGroup.cxx:988-1060)
+    * hist = per-image distance histogram, bin = round(d / bin_size)
+      (stats.cxx:121-131); distances beyond the last bin clip into it.
+    """
+    n = arrays.n_images
+    _, _, dist, w = link_pass(arrays)
+    valid = arrays.link_valid
+    pairs = jnp.sum(valid, axis=(1, 2))
+    inliers = jnp.sum(valid & (w >= inlier_threshold), axis=(1, 2))
+    census = jnp.stack([pairs, inliers, pairs - inliers], axis=1).astype(
+        jnp.float32
+    )
+
+    big = jnp.float32(1e30)
+    mask_all = arrays.point_valid[..., None]
+    mask_mov = (movable[:, None] & arrays.point_valid)[..., None]
+    xyz = arrays.xyz
+    bbox_mov = jnp.concatenate(
+        [
+            jnp.min(jnp.where(mask_mov, xyz, big), axis=(0, 1)),
+            jnp.max(jnp.where(mask_mov, xyz, -big), axis=(0, 1)),
+        ]
+    )
+    bbox_all = jnp.concatenate(
+        [
+            jnp.min(jnp.where(mask_all, xyz, big), axis=(0, 1)),
+            jnp.max(jnp.where(mask_all, xyz, -big), axis=(0, 1)),
+        ]
+    )
+
+    idx = jnp.clip(
+        jnp.rint(dist / bin_size).astype(jnp.int32), 0, n_bins - 1
+    ).reshape(n, -1)
+    wv = valid.astype(jnp.float32).reshape(n, -1)
+    hist = jax.vmap(
+        lambda ii, ww: jnp.zeros((n_bins,), jnp.float32).at[ii].add(ww)
+    )(idx, wv)
+
+    return jnp.concatenate(
+        [bbox_mov, bbox_all, census.ravel(), arrays.em.ravel(), hist.ravel()]
+    )

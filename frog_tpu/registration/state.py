@@ -81,6 +81,12 @@ class GroupMeta:
     n_fixed: int
     movable: np.ndarray  # (N,) bool mask (i >= n_fixed)
     landmarks: dict  # name -> list[(image, point_index)]
+    # Host mirrors of the initial padded coordinates/mask — keep the linear
+    # anchor setup (imageGroup.cxx:806-848) free of device readbacks (each
+    # costs a network RTT on a remote-attached TPU).
+    xyz_host: np.ndarray | None = None  # (N, P, 3) f32
+    point_valid_host: np.ndarray | None = None  # (N, P) bool
+    has_constraints: bool = False  # any hard (-lc) links present
 
 
 def _pack_table(per_image_links: list, n: int, p_pad: int, k_multiple: int = 8):
@@ -223,6 +229,9 @@ def build_group_state(
         n_fixed=n_fixed,
         movable=movable,
         landmarks=landmark_registry,
+        xyz_host=xyz,
+        point_valid_host=point_valid,
+        has_constraints=any(len(h) for h in hard_links),
     )
     return arrays, meta
 
