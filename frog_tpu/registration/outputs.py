@@ -171,8 +171,7 @@ def save_error_maps(reg, out_dir):
 
     # per-point weighted displacement sums (same weighting as the
     # deformable update)
-    pA, diff, dist = kernels.link_geometry(arrays)
-    w = kernels.link_weights(arrays, dist)
+    pA, diff, dist, w = kernels.link_pass(arrays)
     w2 = jnp.where(w < cfg.inlier_threshold, 0.0, w * w)
     s_disp = jnp.sum(w2[..., None] * diff, axis=2)  # (N, P, 3)
     s_weight = jnp.sum(w2, axis=2)
