@@ -81,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     ma.add_argument("-zmin", type=float, default=-1e20)
     ma.add_argument("-zmax", type=float, default=1e20)
     ma.add_argument("-anat", type=float, default=0.0)
+    ma.add_argument("-p", dest="write_points", action="store_true",
+                    help="write pruned keypoints to points<i>.csv "
+                         "(match.cpp:600-605)")
     ma.add_argument("-sym", action="store_true")
     ma.add_argument("-all", dest="match_all", action="store_true")
     ma.add_argument("-targ", dest="target", type=int, default=None)
@@ -235,6 +238,24 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cmd = args.command
 
+    if getattr(args, "n_threads", None):
+        # -nt analog: cap XLA's CPU host threads (omp_set_num_threads,
+        # frog.cxx:143-145 / match.cpp:501).  Must be APPENDED to XLA_FLAGS
+        # (not setdefault — this container always defines it) and set before
+        # anything imports jax; every frog_tpu import below is lazy for
+        # exactly this reason.
+        if "jax" in sys.modules:
+            print(
+                "warning: -nt ignored (jax already initialized)",
+                file=sys.stderr,
+            )
+        else:
+            flags = os.environ.get("XLA_FLAGS", "")
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_cpu_multi_thread_eigen=false "
+                f"intra_op_parallelism_threads={args.n_threads}"
+            ).strip()
+
     if cmd == "run":
         from .ops.matcher import MatchParams
         from .ops.surf3d import SurfParams
@@ -309,14 +330,6 @@ def main(argv=None):
         from .ops.matcher import MatchParams
         from .pipeline import match_stage, parse_match_list
 
-        if args.n_threads:
-            # -nt analog: cap XLA's CPU host threads (omp_set_num_threads,
-            # frog.cxx:143-145 / match.cpp:501)
-            os.environ.setdefault(
-                "XLA_FLAGS",
-                f"--xla_cpu_multi_thread_eigen=false "
-                f"intra_op_parallelism_threads={args.n_threads}",
-            )
         files, rigids = parse_match_list(args.input)
         stage = match_stage
         if args.distributed:
@@ -341,6 +354,7 @@ def main(argv=None):
             transform_prefix=args.transform_prefix,
             rigids=rigids,
             max_files=args.max_files,
+            write_points=args.write_points,
         )
     elif cmd == "register":
         from .io.pairs import read_pairs

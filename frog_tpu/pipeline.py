@@ -198,12 +198,14 @@ def match_stage(
     pairs: list | None = None,
     skip_existing: bool = False,
     verbose: bool = True,
+    write_points: bool = False,
 ) -> PairGraph:
     """Load + prune keypoints, build the match graph, write pairs.bin
     (match/match.cpp main flow).  ``rigids`` are per-file offsets whose z
     component shifts the z-slab filter (match.cpp:538-546) and which are
     written to pairs.bin as refTranslation; ``max_files`` caps the file
-    list (-n, match.cpp:498-500)."""
+    list (-n, match.cpp:498-500); ``write_points`` dumps the surviving
+    (post-prune) keypoints to points<i>.csv (-p, match.cpp:600-605)."""
     if max_files is not None and len(keypoint_files) > max_files:
         keypoint_files = keypoint_files[:max_files]
         if rigids is not None:
@@ -223,6 +225,11 @@ def match_stage(
             kp = kp.select(np.flatnonzero(keep))
         if n_points is not None or min_response > 0:
             kp = kp.top_by_response(n_points or len(kp), min_response)
+        if write_points:
+            out = f"points{idx}.csv"
+            write_keypoints(out, kp)
+            if verbose:
+                print(f" writing {out}")
         kps.append(kp)
     if transform_prefix:
         # -transformPrefix: pre-transform positions for the -anat gate

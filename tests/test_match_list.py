@@ -97,6 +97,29 @@ def test_max_files_cap(point_files, tmp_path):
     assert graph.n_images == 2
 
 
+def test_write_points_dumps_pruned_keypoints(point_files, tmp_path, monkeypatch):
+    """-p writes the post-prune keypoints to points<i>.csv
+    (match.cpp:600-605)."""
+    from frog_tpu.io.keypoints import read_keypoints
+
+    _, files = point_files
+    monkeypatch.chdir(tmp_path)
+    match_stage(
+        files,
+        MatchParams(max_distance=1e10, second_ratio=1.0),
+        out_file=str(tmp_path / "pairs.bin"),
+        n_points=25,
+        write_points=True,
+        verbose=False,
+    )
+    for i in range(3):
+        kp = read_keypoints(str(tmp_path / f"points{i}.csv"))
+        assert len(kp) == 25
+        # top-by-response pruning kept the highest responses
+        orig = read_keypoints(files[i])
+        assert kp.response.min() >= np.sort(orig.response)[-25]
+
+
 def test_em_reservoir_mode():
     """Reservoir sampling EM lands near the full-sample EM parameters."""
     import dataclasses
