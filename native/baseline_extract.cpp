@@ -12,8 +12,12 @@
 // OpenMP over voxels (the reference's OpenMP style).
 //
 // Input: raw file [int32 dims[3]] [float spacing[3]] [float data (x-major)]
-// Args:  file target_spacing n_points
-// Output: one JSON line with phase timings.
+// Args:  file target_spacing n_points [out.bin]
+// Output: one JSON line with phase timings.  With out.bin given, also
+// dumps the keypoints for numeric parity testing against
+// frog_tpu/ops/surf3d (tests/test_parity_extract.py): int32 n, then n
+// rows of f32 [x, y, z (iso-voxel coords), sigma (voxels), laplacian,
+// response, desc[48]].
 #include <algorithm>
 #include <chrono>
 #include <cmath>
@@ -256,13 +260,16 @@ int main(int argc, char **argv) {
             int sx = (int)std::lround(pos[0] + sigma * offs[0]);
             int sy = (int)std::lround(pos[1] + sigma * offs[1]);
             int sz = (int)std::lround(pos[2] + sigma * offs[2]);
+            // Haar halves are the canonical SURF non-overlapping boxes:
+            // positive half voxels [c, c+s-1], negative [c-s, c-1], free
+            // axes [c-s, c+s-1] (matches ops/surf3d/descriptor.py _haar)
             int s = hsize;
-            double dx = I.box(sx, sy - s, sz - s, sx + s, sy + s, sz + s)
-                      - I.box(sx - s, sy - s, sz - s, sx, sy + s, sz + s);
-            double dy = I.box(sx - s, sy, sz - s, sx + s, sy + s, sz + s)
-                      - I.box(sx - s, sy - s, sz - s, sx + s, sy, sz + s);
-            double dz = I.box(sx - s, sy - s, sz, sx + s, sy + s, sz + s)
-                      - I.box(sx - s, sy - s, sz - s, sx + s, sy + s, sz);
+            double dx = I.box(sx, sy - s, sz - s, sx + s - 1, sy + s - 1, sz + s - 1)
+                      - I.box(sx - s, sy - s, sz - s, sx - 1, sy + s - 1, sz + s - 1);
+            double dy = I.box(sx - s, sy, sz - s, sx + s - 1, sy + s - 1, sz + s - 1)
+                      - I.box(sx - s, sy - s, sz - s, sx + s - 1, sy - 1, sz + s - 1);
+            double dz = I.box(sx - s, sy - s, sz, sx + s - 1, sy + s - 1, sz + s - 1)
+                      - I.box(sx - s, sy - s, sz - s, sx + s - 1, sy + s - 1, sz - 1);
             feats[sub][0] += gw * dx; feats[sub][1] += gw * std::fabs(dx);
             feats[sub][2] += gw * dy; feats[sub][3] += gw * std::fabs(dy);
             feats[sub][4] += gw * dz; feats[sub][5] += gw * std::fabs(dz);
@@ -275,6 +282,37 @@ int main(int argc, char **argv) {
       desc[(size_t)k * 48 + i] = (float)(feats[i / 6][i % 6] / nrm);
   }
   auto t4 = Clock::now();
+
+  if (argc > 4) {
+    FILE *out = fopen(argv[4], "wb");
+    if (!out) { perror("open out"); return 1; }
+    int32_t n = keep;
+    fwrite(&n, 4, 1, out);
+    for (int k = 0; k < keep; k++) {
+      Peak &p = peaks[k];
+      double pos[3] = {(double)p.x, (double)p.y, (double)p.z};
+      int c[3] = {p.x, p.y, p.z};
+      for (int a = 0; a < 3; a++) {
+        int lo[3] = {p.x, p.y, p.z}, hi[3] = {p.x, p.y, p.z};
+        lo[a]--; hi[a]++;
+        int na[3] = {v.nx, v.ny, v.nz};
+        if (c[a] <= 0 || c[a] >= na[a] - 1) continue;
+        float fl = resp[p.s][(size_t)(lo[0] * v.ny + lo[1]) * v.nz + lo[2]];
+        float fh = resp[p.s][(size_t)(hi[0] * v.ny + hi[1]) * v.nz + hi[2]];
+        float fc = p.r;
+        double den = fl - 2.0 * fc + fh;
+        if (std::fabs(den) > 1e-12)
+          pos[a] += std::min(std::max(0.5 * (fl - fh) / den, -0.5), 0.5);
+      }
+      float row[6] = {(float)pos[0], (float)pos[1], (float)pos[2],
+                      (float)(1.2 * (3.0 * lobes[p.s]) / 9.0),
+                      laps[p.s][(size_t)(p.x * v.ny + p.y) * v.nz + p.z],
+                      p.r};
+      fwrite(row, 4, 6, out);
+      fwrite(&desc[(size_t)k * 48], 4, 48, out);
+    }
+    fclose(out);
+  }
 
   printf(
       "{\"resample_s\": %.3f, \"detect_s\": %.3f, \"nms_s\": %.3f, "

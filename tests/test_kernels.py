@@ -83,9 +83,9 @@ def test_separable_scatter_matches_dense():
     vals = jnp.asarray(rng.normal(size=(n, p, 4)), jnp.float32)
 
     basis = kernels.bspline_basis(origin, spacing, dims, xyz)
-    got = np.asarray(kernels._bspline_scatter_sep(basis, vals)).reshape(
-        n, dims[0], dims[1], dims[2], 4
-    )
+    got = np.asarray(
+        kernels._bspline_scatter_sep(basis, vals, dims[0] * dims[1])
+    ).reshape(n, dims[0], dims[1], dims[2], 4)
 
     # dense reference via the gather-based weights
     from frog_tpu.transforms.bspline import bspline_weights
