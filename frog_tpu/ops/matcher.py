@@ -306,11 +306,13 @@ def _pallas_available() -> bool:
 
         if _jax.default_backend() == "cpu":
             raise RuntimeError("cpu backend: use XLA path")
-        db = jnp.zeros((256, 48), jnp.bfloat16)
-        meta = jnp.zeros((256, 4), jnp.float32)
-        da = jnp.zeros((512, 48), jnp.bfloat16)
-        meta_a = jnp.ones((512, 4), jnp.float32)
-        out = pm.pallas_top2(db, meta, da, meta_a, jnp.asarray([[1.3]], jnp.float32))
+        db = jnp.zeros((512, 48), jnp.bfloat16)
+        meta = jnp.zeros((512, 4), jnp.float32)
+        da = jnp.zeros((1024, 48), jnp.bfloat16)
+        meta_a = jnp.ones((1024, 4), jnp.float32)
+        out = pm.pallas_top2_v2(
+            db, meta, da, meta_a, jnp.asarray([[1.3]], jnp.float32)
+        )
         _jax.block_until_ready(out)
         _PALLAS_STATE["ok"] = True
     except Exception:
@@ -333,7 +335,7 @@ def _pallas_chunk_top2(desc16_b, meta_b, desc16_a, meta_a, scale_ratio):
     from . import pallas_matcher as pm
 
     return jax.vmap(
-        lambda db, mb, da, ma: pm.pallas_top2(db, mb, da, ma, scale_ratio)
+        lambda db, mb, da, ma: pm.pallas_top2_v2(db, mb, da, ma, scale_ratio)
     )(desc16_b, meta_b, desc16_a, meta_a)
 
 

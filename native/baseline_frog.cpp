@@ -8,12 +8,23 @@
 // structure — implemented fresh for this benchmark harness.
 //
 // Usage: baseline_frog pairs.bin <linearIters> <deformIters> <gridSize>
-//                      [maxEMSamples] [dumpPath]
+//                      [maxEMSamples] [dumpPath] [nLevels] [guarantee]
+//                      [maxRatio] [nFixed] [alpha]
 // Prints one JSON line with per-phase seconds.  With dumpPath, also writes
 // a JSON file with the per-iteration energy trajectory, final per-image
-// scale/translation and final B-spline coefficients — consumed by
-// tests/test_parity_native.py to assert the JAX optimizer reproduces this
-// reference-equivalent implementation numerically.
+// scale/translation, final B-spline coefficients (last grid) and the
+// final transformed positions — consumed by tests/test_parity_native.py
+// to assert the JAX optimizer reproduces this reference-equivalent
+// implementation numerically.
+//
+// nLevels > 1 runs the reference's multi-level schedule (grid size halves
+// per level, imageGroup.cxx:73-142); guarantee=1 enables the
+// diffeomorphism guard (reject iteration when any |coeff| exceeds
+// maxRatio * spacing after mean subtraction), with the stacked-fresh-grid
+// retry and first-time alpha halving of imageGroup.cxx:88-121.
+// nFixed > 0 freezes the first images (no RANSAC here: pair it with
+// use_ransac=False on the JAX side), disables mean subtraction, and sums
+// E over movable images only (imageGroup.cxx:398-409).
 
 #include <algorithm>
 #include <chrono>
@@ -108,7 +119,13 @@ int main(int argc, char** argv) {
     double gridSize = atof(argv[4]);
     size_t maxEM = argc > 5 ? (size_t)atol(argv[5]) : 10000;
     const char* dumpPath = argc > 6 ? argv[6] : nullptr;
+    int nLevels = argc > 7 ? atoi(argv[7]) : 1;
+    bool guarantee = argc > 8 ? atoi(argv[8]) != 0 : false;
+    double maxRatio = argc > 9 ? atof(argv[9]) : 0.4;
+    int nFixed = argc > 10 ? atoi(argv[10]) : 0;
+    float alpha0 = argc > 11 ? (float)atof(argv[11]) : 0.02f;
     vector<double> esLinear, esDeform;
+    vector<int> gridsPerLevel;
 
     // ---- read pairs.bin (format: match.cpp:675-744)
     FILE* f = fopen(argv[1], "rb");
@@ -143,8 +160,11 @@ int main(int argc, char** argv) {
     fclose(f);
     int n = nImages;
 
-    // ---- anchor-centering init (imageGroup.cxx:806-848)
+    // ---- anchor-centering init (imageGroup.cxx:806-848): average the
+    // anchors of the first (N - nFixed) images; only movable images get a
+    // translation
     vector<double> anchor(3 * n, 0), avg(3, 0);
+    int nRef = n - nFixed;
     for (int i = 0; i < n; i++) {
         double lo[3] = {1e30, 1e30, 1e30}, hi[3] = {-1e30, -1e30, -1e30};
         for (size_t p = 0; p < images[i].xyz.size() / 3; p++)
@@ -154,10 +174,10 @@ int main(int argc, char** argv) {
             }
         for (int k = 0; k < 3; k++) {
             anchor[3 * i + k] = 0.5 * (lo[k] + hi[k]);
-            avg[k] += anchor[3 * i + k] / n;
+            if (i < nRef) avg[k] += anchor[3 * i + k] / nRef;
         }
     }
-    for (int i = 0; i < n; i++)
+    for (int i = nFixed; i < n; i++)
         for (int k = 0; k < 3; k++)
             images[i].trans[k] = (float)(avg[k] - anchor[3 * i + k]);
 
@@ -203,7 +223,7 @@ int main(int argc, char** argv) {
         double t1 = now(); tStats += t1 - t0;
         double sE = 0, sEW = 0;  // E = sqrt(sum w^2 d^2 / sum w^2)
 #pragma omp parallel for reduction(+:sE,sEW)
-        for (int i = 0; i < n; i++) {
+        for (int i = nFixed; i < n; i++) {
             ImageData& im = images[i];
             double sDisp[3] = {0}, sA[3] = {0}, sB[3] = {0}, sA2[3] = {0}, sB2[3] = {0};
             double sW = 0;
@@ -237,26 +257,34 @@ int main(int argc, char** argv) {
     // bake
     for (int i = 0; i < n; i++) images[i].xyz = images[i].xyz2;
 
-    // ---- one deformable level (imageGroup.cxx:159-232, 234-472)
-    double lo[3] = {1e30, 1e30, 1e30}, hi[3] = {-1e30, -1e30, -1e30};
-    for (int i = 0; i < n; i++)
-        for (size_t p = 0; p < images[i].xyz.size() / 3; p++)
-            for (int k = 0; k < 3; k++) {
-                double v = images[i].xyz[3 * p + k];
-                lo[k] = std::min(lo[k], v); hi[k] = std::max(hi[k], v);
-            }
-    int dims[3]; double origin[3], spacing[3];
-    for (int k = 0; k < 3; k++) {
-        double c = 0.5 * (lo[k] + hi[k]), half = 0.6 * (hi[k] - lo[k]);
-        double len = 2 * half;
-        int cells = std::max(1, (int)lround(len / gridSize));
-        spacing[k] = len / cells;
-        origin[k] = (c - half) - spacing[k];
-        dims[k] = cells + 3;
-    }
-    size_t G = (size_t)dims[0] * dims[1] * dims[2];
-    vector<vector<float>> coeffs(n, vector<float>(3 * G, 0.f));
-    vector<vector<float>> grad(n, vector<float>(4 * G, 0.f));
+    // ---- deformable levels (imageGroup.cxx:73-142, 159-232, 234-472)
+    float alpha = alpha0;
+    bool subtractMean = nFixed == 0;
+    int dims[3] = {0, 0, 0}; double origin[3], spacing[3];
+    size_t G = 0;
+    vector<vector<float>> coeffs, grad;
+
+    auto setupGrid = [&](double size) {
+        // bbox over MOVABLE images' baked coords (imageGroup.cxx:1513-1527)
+        double lo[3] = {1e30, 1e30, 1e30}, hi[3] = {-1e30, -1e30, -1e30};
+        for (int i = nFixed; i < n; i++)
+            for (size_t p = 0; p < images[i].xyz.size() / 3; p++)
+                for (int k = 0; k < 3; k++) {
+                    double v = images[i].xyz[3 * p + k];
+                    lo[k] = std::min(lo[k], v); hi[k] = std::max(hi[k], v);
+                }
+        for (int k = 0; k < 3; k++) {
+            double c = 0.5 * (lo[k] + hi[k]), half = 0.6 * (hi[k] - lo[k]);
+            double len = 2 * half;
+            int cells = std::max(1, (int)lround(len / size));
+            spacing[k] = len / cells;
+            origin[k] = (c - half) - spacing[k];
+            dims[k] = cells + 3;
+        }
+        G = (size_t)dims[0] * dims[1] * dims[2];
+        coeffs.assign(n, vector<float>(3 * G, 0.f));
+        grad.assign(n, vector<float>(4 * G, 0.f));
+    };
 
     auto transformBspline = [&]() {
 #pragma omp parallel for
@@ -285,72 +313,106 @@ int main(int argc, char** argv) {
         }
     };
 
-    transformBspline();
-    for (int it = 0; it < nDeform; it++) {
-        double t0 = now();
-        if (it % 10 == 0) updateStats();
-        double t1 = now(); tStats += t1 - t0;
-        double sE = 0, sEW = 0;  // inlier-gated: w2 = 0 below 0.5
+    for (int level = 0; level < nLevels; level++) {
+        setupGrid(gridSize / pow(2.0, level));
+        transformBspline();  // fresh zero grid: xyz2 = xyz
+        int nGrids = 1, itersOnGrid = 0;
+        for (int it = 0; it < nDeform; ) {
+            double t0 = now();
+            if (it % 10 == 0) updateStats();
+            double t1 = now(); tStats += t1 - t0;
+            double sE = 0, sEW = 0;  // inlier-gated: w2 = 0 below 0.5
 #pragma omp parallel for reduction(+:sE,sEW)
-        for (int i = 0; i < n; i++) {
-            ImageData& im = images[i];
-            std::fill(grad[i].begin(), grad[i].end(), 0.f);
-            size_t P = im.xyz.size() / 3;
-            vector<float> sDisp(3 * P, 0.f), sWeight(P, 0.f);
-            for (const HalfLink& lk : im.links) {
-                const float* pA = &im.xyz2[3 * lk.src];
-                const float* pB = &images[lk.dstImg].xyz2[3 * lk.dstPt];
-                float diff[3], d2 = 0;
-                for (int k = 0; k < 3; k++) { diff[k] = pB[k] - pA[k]; d2 += diff[k] * diff[k]; }
-                float d = sqrtf(d2);
-                float w = std::min(inlierProb(im, d), inlierProb(images[lk.dstImg], d));
-                if (w < 0.5f) continue;
-                float w2 = w * w;
-                sE += (double)w2 * d2; sEW += (double)w2;
-                for (int k = 0; k < 3; k++) sDisp[3 * lk.src + k] += w2 * diff[k];
-                sWeight[lk.src] += w2;
+            for (int i = nFixed; i < n; i++) {
+                ImageData& im = images[i];
+                std::fill(grad[i].begin(), grad[i].end(), 0.f);
+                size_t P = im.xyz.size() / 3;
+                vector<float> sDisp(3 * P, 0.f), sWeight(P, 0.f);
+                for (const HalfLink& lk : im.links) {
+                    const float* pA = &im.xyz2[3 * lk.src];
+                    const float* pB = &images[lk.dstImg].xyz2[3 * lk.dstPt];
+                    float diff[3], d2 = 0;
+                    for (int k = 0; k < 3; k++) { diff[k] = pB[k] - pA[k]; d2 += diff[k] * diff[k]; }
+                    float d = sqrtf(d2);
+                    float w = std::min(inlierProb(im, d), inlierProb(images[lk.dstImg], d));
+                    if (w < 0.5f) continue;
+                    float w2 = w * w;
+                    sE += (double)w2 * d2; sEW += (double)w2;
+                    for (int k = 0; k < 3; k++) sDisp[3 * lk.src + k] += w2 * diff[k];
+                    sWeight[lk.src] += w2;
+                }
+                for (size_t p = 0; p < P; p++) {
+                    if (sWeight[p] == 0) continue;
+                    double F[3][4]; int base[3];
+                    for (int k = 0; k < 3; k++) {
+                        double u = (im.xyz[3 * p + k] - origin[k]) / spacing[k];
+                        int iu = (int)floor(u);
+                        bsplineWeights(F[k], u - iu);
+                        base[k] = iu - 1;
+                    }
+                    for (int c = 0; c < 4; c++) for (int b = 0; b < 4; b++) for (int a = 0; a < 4; a++) {
+                        int x = base[0] + a, y = base[1] + b, z = base[2] + c;
+                        if (x < 0 || y < 0 || z < 0 || x >= dims[0] || y >= dims[1] || z >= dims[2]) continue;
+                        size_t id = 4 * ((size_t)(z * dims[1] + y) * dims[0] + x);
+                        double w = F[0][a] * F[1][b] * F[2][c];
+                        for (int k = 0; k < 3; k++) grad[i][id + k] += (float)(w * sDisp[3 * p + k]);
+                        grad[i][id + 3] += (float)(w * sWeight[p]);
+                    }
+                }
+                // candidate = old coeff + alpha * grad / weight (pre-mean)
+                for (size_t g = 0; g < G; g++) {
+                    float cw = grad[i][4 * g + 3];
+                    for (int k = 0; k < 3; k++) {
+                        float nv = coeffs[i][3 * g + k];
+                        if (cw > 0) nv += alpha * grad[i][4 * g + k] / cw;
+                        grad[i][4 * g + k] = nv;
+                    }
+                }
             }
-            for (size_t p = 0; p < P; p++) {
-                if (sWeight[p] == 0) continue;
-                double F[3][4]; int base[3];
+            // mean subtraction barrier + diffeomorphism guard
+            // (imageGroup.cxx:379-439): candidate stays in grad[] until it
+            // passes; a reject discards it (the reference's "return -1")
+            long nBig = 0;
+#pragma omp parallel for reduction(+:nBig)
+            for (long g = 0; g < (long)G; g++) {
                 for (int k = 0; k < 3; k++) {
-                    double u = (im.xyz[3 * p + k] - origin[k]) / spacing[k];
-                    int iu = (int)floor(u);
-                    bsplineWeights(F[k], u - iu);
-                    base[k] = iu - 1;
-                }
-                for (int c = 0; c < 4; c++) for (int b = 0; b < 4; b++) for (int a = 0; a < 4; a++) {
-                    int x = base[0] + a, y = base[1] + b, z = base[2] + c;
-                    if (x < 0 || y < 0 || z < 0 || x >= dims[0] || y >= dims[1] || z >= dims[2]) continue;
-                    size_t id = 4 * ((size_t)(z * dims[1] + y) * dims[0] + x);
-                    double w = F[0][a] * F[1][b] * F[2][c];
-                    for (int k = 0; k < 3; k++) grad[i][id + k] += (float)(w * sDisp[3 * p + k]);
-                    grad[i][id + 3] += (float)(w * sWeight[p]);
+                    if (subtractMean) {
+                        double sum = 0;
+                        for (int i = nFixed; i < n; i++) sum += grad[i][4 * g + k];
+                        sum /= n;  // divisor: total image count (:417)
+                        for (int i = nFixed; i < n; i++)
+                            grad[i][4 * g + k] -= (float)sum;
+                    }
+                    for (int i = nFixed; i < n; i++)
+                        if (fabsf(grad[i][4 * g + k]) > maxRatio * spacing[k])
+                            nBig++;
                 }
             }
-            for (size_t g = 0; g < G; g++) {
-                float cw = grad[i][4 * g + 3];
-                for (int k = 0; k < 3; k++) {
-                    float nv = coeffs[i][3 * g + k];
-                    if (cw > 0) nv += 0.02f * grad[i][4 * g + k] / cw;
-                    grad[i][4 * g + k] = nv;
-                }
+            if (guarantee && nBig > 0) {
+                // reject: bake accepted grid, stack a fresh one, halve
+                // alpha if this grid never succeeded (imageGroup.cxx:97-115)
+                tDeform += now() - t1;
+                if (itersOnGrid == 0) alpha *= 0.5f;
+                for (int i = 0; i < n; i++) images[i].xyz = images[i].xyz2;
+                coeffs.assign(n, vector<float>(3 * G, 0.f));
+                transformBspline();
+                nGrids++;
+                itersOnGrid = 0;
+                continue;
             }
-        }
-        // mean subtraction barrier (imageGroup.cxx:379-432)
 #pragma omp parallel for
-        for (long g = 0; g < (long)G; g++) {
-            for (int k = 0; k < 3; k++) {
-                double sum = 0;
-                for (int i = 0; i < n; i++) sum += grad[i][4 * g + k];
-                sum /= n;
-                for (int i = 0; i < n; i++)
-                    coeffs[i][3 * g + k] = grad[i][4 * g + k] - (float)sum;
-            }
+            for (int i = nFixed; i < n; i++)
+                for (size_t g = 0; g < G; g++)
+                    for (int k = 0; k < 3; k++)
+                        coeffs[i][3 * g + k] = grad[i][4 * g + k];
+            transformBspline();
+            tDeform += now() - t1;
+            esDeform.push_back(sqrt(sE / std::max(sEW, 1e-30)));
+            it++; itersOnGrid++;
         }
-        transformBspline();
-        tDeform += now() - t1;
-        esDeform.push_back(sqrt(sE / std::max(sEW, 1e-30)));
+        gridsPerLevel.push_back(nGrids);
+        // bake the level (imageGroup.cxx:123-126)
+        for (int i = 0; i < n; i++) images[i].xyz = images[i].xyz2;
     }
 
     if (dumpPath) {

@@ -103,3 +103,93 @@ def landmark_dict(graph, truth, n_landmarks=8, seed=99, prefix="lm"):
             entries.append((i, t["inv"](truth["cloud"][pid : pid + 1])[0]))
         out[f"{prefix}{k}"] = entries
     return out
+
+
+def make_synthetic_volumes(
+    out_dir,
+    n_images=20,
+    shape=(192, 192, 192),
+    spacing=2.0,
+    warp_amp=3.0,
+    shift_amp=8.0,
+    seed=0,
+    fmt="nii.gz",
+):
+    """Write N CT-like synthetic volumes: one band-limited random texture
+    observed through per-image smooth warps + translations (the volume
+    analog of make_synthetic_group).  Returns the file list.
+
+    192^3 at 2 mm spacing gives a ~384 mm extent — reference-like bbox and
+    deformable grid dims (imageGroup.h:52-82) at an extraction-bucket-sized
+    voxel count.
+    """
+    import os
+
+    from frog_tpu.io.nifti import write_nifti
+    from frog_tpu.io.volume import Volume
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    nx, ny, nz = shape
+
+    # band-limited texture via FFT lowpass (fast, no per-blob loops)
+    noise = rng.normal(size=shape).astype(np.float32)
+    f = np.fft.rfftn(noise)
+    kx = np.fft.fftfreq(nx)[:, None, None]
+    ky = np.fft.fftfreq(ny)[None, :, None]
+    kz = np.fft.rfftfreq(nz)[None, None, :]
+    k2 = kx * kx + ky * ky + kz * kz
+    lp = np.exp(-k2 / (2 * 0.06**2)) + 0.25 * np.exp(-k2 / (2 * 0.15**2))
+    base = np.fft.irfftn(f * lp, shape).astype(np.float32)
+    base *= 400.0 / max(base.std(), 1e-9)
+
+    g = np.stack(
+        np.meshgrid(*(np.arange(s, dtype=np.float32) for s in shape),
+                    indexing="ij"),
+        axis=-1,
+    )  # (X, Y, Z, 3) voxel coords
+    files = []
+    for i in range(n_images):
+        path = os.path.join(out_dir, f"vol{i:02d}.{fmt}")
+        files.append(path)
+        if os.path.exists(path):
+            continue
+        shift = rng.uniform(-shift_amp, shift_amp, 3).astype(np.float32)
+        phase = rng.uniform(0, 2 * np.pi, 3).astype(np.float32)
+        amp = (warp_amp * rng.uniform(0.5, 1.0, 3)).astype(np.float32)
+        coords = (
+            g
+            + shift
+            + amp
+            * np.sin(
+                2 * np.pi * g[..., [1, 2, 0]] / np.asarray(shape) + phase
+            )
+        )
+        try:
+            from scipy.ndimage import map_coordinates
+
+            data = map_coordinates(
+                base, np.moveaxis(coords, -1, 0), order=1, mode="nearest"
+            ).astype(np.float32)
+        except ImportError:  # vectorized numpy trilinear fallback
+            lo = np.floor(coords).astype(np.int64)
+            fr = coords - lo
+            data = np.zeros(shape, np.float32)
+            flat = base.ravel()
+            for dx in (0, 1):
+                wx = fr[..., 0] if dx else 1.0 - fr[..., 0]
+                cx = np.clip(lo[..., 0] + dx, 0, nx - 1)
+                for dy in (0, 1):
+                    wy = fr[..., 1] if dy else 1.0 - fr[..., 1]
+                    cy = np.clip(lo[..., 1] + dy, 0, ny - 1)
+                    for dz in (0, 1):
+                        wz = fr[..., 2] if dz else 1.0 - fr[..., 2]
+                        cz = np.clip(lo[..., 2] + dz, 0, nz - 1)
+                        data += (wx * wy * wz) * flat[
+                            (cx * ny + cy) * nz + cz
+                        ]
+        write_nifti(
+            path,
+            Volume(data, origin=(0.0, 0.0, 0.0), spacing=(spacing,) * 3),
+        )
+    return files
