@@ -429,6 +429,10 @@ int main(int argc, char** argv) {
         };
         dumpVec("es_linear", esLinear);
         dumpVec("es_deform", esDeform);
+        fprintf(d, "\"alpha_final\": %.9g, \"grids_per_level\": [", alpha);
+        for (size_t k = 0; k < gridsPerLevel.size(); k++)
+            fprintf(d, "%s%d", k ? "," : "", gridsPerLevel[k]);
+        fprintf(d, "],\n");
         fprintf(d, "\"images\": [");
         for (int i = 0; i < n; i++) {
             fprintf(d, "%s{\"scale\": [%.9g,%.9g,%.9g], \"trans\": [%.9g,%.9g,%.9g], "
@@ -438,6 +442,9 @@ int main(int argc, char** argv) {
                     images[i].trans[2], images[i].c1, images[i].c2, images[i].ratio);
             for (size_t g = 0; g < 3 * G; g++)
                 fprintf(d, "%s%.9g", g ? "," : "", coeffs[i][g]);
+            fprintf(d, "], \"xyz2\": [");
+            for (size_t v = 0; v < images[i].xyz2.size(); v++)
+                fprintf(d, "%s%.9g", v ? "," : "", images[i].xyz2[v]);
             fprintf(d, "]}");
         }
         fprintf(d, "]}\n");
@@ -446,9 +453,10 @@ int main(int argc, char** argv) {
 
     printf("{\"images\": %d, \"halfLinks\": %zu, \"stats_s\": %.4f, "
            "\"linear_s\": %.4f, \"linear_iters\": %d, \"deform_s\": %.4f, "
-           "\"deform_iters\": %d, \"grid\": [%d,%d,%d], \"threads\": %d}\n",
-           n, 2 * nPairs, tStats, tLinear, nLinear, tDeform, nDeform,
-           dims[0], dims[1], dims[2],
+           "\"deform_iters\": %d, \"levels\": %d, \"grid\": [%d,%d,%d], "
+           "\"threads\": %d}\n",
+           n, 2 * nPairs, tStats, tLinear, nLinear, tDeform,
+           nDeform * nLevels, nLevels, dims[0], dims[1], dims[2],
 #ifdef _OPENMP
            omp_get_max_threads()
 #else

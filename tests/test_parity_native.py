@@ -120,6 +120,159 @@ def test_final_em_params_match(parity_runs):
     np.testing.assert_allclose(em, native_em, rtol=5e-3)
 
 
+@pytest.fixture(scope="module")
+def parity_runs_hard(tmp_path_factory):
+    """The HARD control-flow paths: 2 deformable levels with the
+    diffeomorphism guarantee ON, aggressive alpha so the guard trips,
+    stacks fresh grids and halves alpha (imageGroup.cxx:88-121)."""
+    if not _ensure_binary():
+        pytest.skip("no C++ toolchain for native baseline")
+    tmp = tmp_path_factory.mktemp("parity_hard")
+    graph, _ = make_synthetic_group(
+        seed=31,
+        n_images=4,
+        n_points=250,
+        extent=200.0,
+        warp_amp=18.0,
+        noise=0.3,
+        outlier_fraction=0.05,
+        match_fraction=0.9,
+    )
+    pairs = str(tmp / "pairs.bin")
+    write_pairs(pairs, graph)
+    dump = str(tmp / "dump.json")
+    alpha = 0.2  # decisive guard trips (borderline trips would be flaky)
+    subprocess.run(
+        [
+            BIN, pairs, "10", "15", "80.0", "1000000000", dump,
+            "2",  # levels
+            "1",  # guarantee
+            "0.4",
+            "0",  # nFixed
+            str(alpha),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    with open(dump) as f:
+        native = json.load(f)
+
+    cfg = GroupConfig(
+        linear_iterations=10,
+        deformable_levels=2,
+        deformable_iterations=15,
+        initial_grid_size=80.0,
+        deformable_alpha=alpha,
+        guarantee_diffeomorphism=True,
+        verbose=False,
+    )
+    reg = GroupRegistration(graph, cfg)
+    reg.run()
+    return native, reg
+
+
+def test_hard_guard_actually_trips(parity_runs_hard):
+    native, reg = parity_runs_hard
+    # the point of this fixture: at least one stacked grid / alpha halving
+    assert sum(native["grids_per_level"]) > 2, native["grids_per_level"]
+
+
+def test_hard_grids_and_alpha_match(parity_runs_hard):
+    native, reg = parity_runs_hard
+    assert reg.grids_per_level == native["grids_per_level"]
+
+
+def test_hard_energy_trajectories_match(parity_runs_hard):
+    native, reg = parity_runs_hard
+    es = [m.E for m in reg.measures]
+    assert len(es) == 10 + 2 * 15
+    np.testing.assert_allclose(es[:10], native["es_linear"], rtol=2e-3)
+    np.testing.assert_allclose(es[10:], native["es_deform"], rtol=5e-3)
+
+
+def test_hard_final_positions_match(parity_runs_hard):
+    native, reg = parity_runs_hard
+    xyz2 = np.asarray(reg.arrays.xyz2)
+    for i, im in enumerate(native["images"]):
+        want = np.asarray(im["xyz2"], np.float32).reshape(-1, 3)
+        got = xyz2[i, : want.shape[0]]
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=2e-3 * scale)
+
+
+@pytest.fixture(scope="module")
+def parity_runs_fixed(tmp_path_factory):
+    """Fixed-image mode: first image frozen, no mean subtraction, E over
+    movable images only (imageGroup.cxx:398-409, RANSAC disabled on both
+    sides so the linear path is the plain gradient one)."""
+    if not _ensure_binary():
+        pytest.skip("no C++ toolchain for native baseline")
+    tmp = tmp_path_factory.mktemp("parity_fixed")
+    graph, _ = make_synthetic_group(
+        seed=41,
+        n_images=4,
+        n_points=250,
+        extent=200.0,
+        warp_amp=4.0,
+        noise=0.4,
+        outlier_fraction=0.1,
+        match_fraction=0.9,
+    )
+    pairs = str(tmp / "pairs.bin")
+    write_pairs(pairs, graph)
+    dump = str(tmp / "dump.json")
+    subprocess.run(
+        [
+            BIN, pairs, str(N_LINEAR), str(N_DEFORM), str(GRID_SIZE),
+            "1000000000", dump, "1", "0", "0.4", "1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    with open(dump) as f:
+        native = json.load(f)
+
+    cfg = GroupConfig(
+        linear_iterations=N_LINEAR,
+        deformable_levels=1,
+        deformable_iterations=N_DEFORM,
+        initial_grid_size=GRID_SIZE,
+        guarantee_diffeomorphism=False,
+        n_fixed=1,
+        use_ransac=False,
+        verbose=False,
+    )
+    reg = GroupRegistration(graph, cfg)
+    reg.run()
+    return native, reg
+
+
+def test_fixed_mode_trajectories_match(parity_runs_fixed):
+    native, reg = parity_runs_fixed
+    es = [m.E for m in reg.measures]
+    np.testing.assert_allclose(es[:N_LINEAR], native["es_linear"], rtol=2e-3)
+    np.testing.assert_allclose(es[N_LINEAR:], native["es_deform"], rtol=5e-3)
+
+
+def test_fixed_mode_fixed_image_untouched(parity_runs_fixed):
+    native, reg = parity_runs_fixed
+    affine = np.asarray(reg.arrays.affine)
+    np.testing.assert_array_equal(affine[0], np.eye(4))
+    want = np.asarray(native["images"][0]["xyz2"], np.float32).reshape(-1, 3)
+    got = np.asarray(reg.arrays.xyz2)[0, : want.shape[0]]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_fixed_mode_positions_match(parity_runs_fixed):
+    native, reg = parity_runs_fixed
+    xyz2 = np.asarray(reg.arrays.xyz2)
+    for i, im in enumerate(native["images"]):
+        want = np.asarray(im["xyz2"], np.float32).reshape(-1, 3)
+        got = xyz2[i, : want.shape[0]]
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=2e-3 * scale)
+
+
 def test_final_coefficients_match(parity_runs):
     native, reg = parity_runs
     dims = native["grid"]["dims"]
