@@ -580,3 +580,37 @@ def match_graph(
             )
         )
     return PairGraph(images=images, matches=matches)
+
+
+def warm_matcher(n_points: int, scale_ratio: float = 1.3):
+    """Background-compile the matching executables at the shapes the real
+    pair sweep will use (utils/aot.py): the point pad is predictable from
+    the extraction budget (counts cap at n_points and pad to _TILE), so
+    the pallas kernel + rescore + accept chain compiles while extraction
+    still runs on the volumes — the ~20 s/executable remote-service
+    compiles vanish from the cold path.  A mispredicted pad is harmless
+    (the real shapes compile inline as before)."""
+    from ..utils import aot
+
+    if jax.default_backend() == "cpu":
+        return None  # warming targets the remote-compile TPU path
+    pad = max(_TILE, ((n_points + _TILE - 1) // _TILE) * _TILE)
+    c = _PAIR_CHUNK
+
+    def task():
+        desc = jnp.zeros((c, pad, 48), jnp.float32)
+        lapl = jnp.ones((c, pad), jnp.float32)
+        scale = jnp.ones((c, pad), jnp.float32)
+        valid = jnp.ones((c, pad), bool)
+        if _pallas_available():
+            desc16, meta = _jit_prep_meta(desc, lapl, scale, valid)
+            d1, d2, i1, i2 = _pallas_chunk_top2(
+                desc16, meta, desc16, meta,
+                jnp.asarray([[scale_ratio]], jnp.float32),
+            )
+            d1, d2, i1 = _BATCHED_RESCORE(desc, desc, i1, i2, d1, d2)
+            _accept_device(
+                d1, d2, i1, jnp.float32(1.0), jnp.float32(0.9), pad < 32768
+            )
+
+    return aot.warm(task)

@@ -121,7 +121,24 @@ def _extract_device(
 
         desc = descriptors_dense(data, pos, sigma_vox, s_idx, lobes)
 
-    return top_vals, valid, pos, sigma_vox, lap_top, desc
+    # Pack the scalar outputs into ONE f32 array and ship descriptors in
+    # bf16: the remote device->host tunnel runs at ~0.1-3 MB/s with an
+    # RTT per transfer, so 6 readbacks of 4.4 MB become 2 of 2.5 MB.
+    # Descriptors are normalized sums of hundreds of Haar samples already
+    # computed from bf16 volumes; the extra 0.4% quantization is below
+    # the matching-power noise floor (tests/test_descriptor_metrics.py).
+    header = jnp.concatenate(
+        [
+            pos,
+            sigma_vox[:, None],
+            lap_top[:, None],
+            top_vals[:, None],
+            valid[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    desc16 = desc.astype(jnp.bfloat16) if descriptor == "surf" else desc
+    return header, desc16
 
 
 def extract_keypoints(
@@ -129,6 +146,19 @@ def extract_keypoints(
     params: SurfParams = SurfParams(),
     mask: Volume | None = None,
 ) -> Keypoints:
+    return finalize_keypoints(*extract_keypoints_async(vol, params, mask))
+
+
+def extract_keypoints_async(
+    vol: Volume,
+    params: SurfParams = SurfParams(),
+    mask: Volume | None = None,
+):
+    """Dispatch the device extraction and return (device results,
+    iso_origin, params) WITHOUT waiting: the caller can dispatch the next
+    volume (or overlap host IO) before paying the device->host readback in
+    ``finalize_keypoints`` — on a remote-attached TPU the readback tunnel
+    and the device compute overlap."""
     vol = clamp(vol, params.cmin, params.cmax)
     if params.pad > 0:
         vol = mirror_pad(vol, params.pad)
@@ -156,7 +186,7 @@ def extract_keypoints(
         mask_vals = trilinear_sample(mdata, jnp.stack([cx, cy, cz], axis=-1)) > 0
 
     lobes = tuple(scale_stack_sizes(params.n_octaves))
-    top_vals, valid, pos, sigma_vox, lap_top, desc = _extract_device(
+    header, desc = _extract_device(
         data,
         mask_vals if mask_vals is not None else jnp.zeros((1, 1, 1), bool),
         jnp.asarray(extent, jnp.int32),
@@ -168,17 +198,24 @@ def extract_keypoints(
         params.descriptor,
         params.raw_radius,
     )
+    return (header, desc), iso_origin, params
 
-    keep = np.asarray(valid)
-    pos = np.asarray(pos)[keep]
-    sigma_vox = np.asarray(sigma_vox)[keep]
+
+def finalize_keypoints(device_results, iso_origin, params) -> Keypoints:
+    """Pay the device->host readback and build the Keypoints record."""
+    header, desc = device_results
+    header = np.asarray(header)
+    keep = header[:, 6] > 0  # validity flag (see _extract_device packing)
+    header = header[keep]
+    pos = header[:, 0:3]
+    iso_spacing = np.full(3, float(params.spacing))
     xyz = iso_origin[None, :] + pos * iso_spacing[None, :]
     return Keypoints(
         xyz=xyz.astype(np.float32),
-        scale=(sigma_vox * params.spacing).astype(np.float32),
-        laplacian=np.asarray(lap_top)[keep].astype(np.float32),
-        response=np.asarray(top_vals)[keep].astype(np.float32),
-        desc=np.asarray(desc)[keep].astype(np.float32),
+        scale=(header[:, 3] * params.spacing).astype(np.float32),
+        laplacian=header[:, 4].astype(np.float32),
+        response=header[:, 5].astype(np.float32),
+        desc=np.asarray(desc).astype(np.float32)[keep],
     )
 
 

@@ -159,7 +159,24 @@ def extract_stage(
             mask = read_volume(masks[i])
         return vol, mask
 
+    from .ops.surf3d.extract import extract_keypoints_async, finalize_keypoints
+
     pending_write = None
+    pending = None  # (device results, out path, name, t_start)
+
+    def finish(p):
+        nonlocal pending_write
+        dispatched, out, name, t0 = p
+        kp = finalize_keypoints(*dispatched)
+        if pending_write is not None:
+            pending_write.result()
+        pending_write = pool.submit(write_keypoints, out, kp)
+        if verbose:
+            print(
+                f"extracted {len(kp)} keypoints from {name}"
+                f" in {time.time() - t0:.1f}s -> {out}"
+            )
+
     for k, (i, f, out) in enumerate(work):
         if (i, f) not in reads:
             reads[(i, f)] = pool.submit(_read, i, f)
@@ -168,15 +185,14 @@ def extract_stage(
         if k + 1 < len(work):  # prefetch the next volume during compute
             ni, nf, _ = work[k + 1]
             reads[(ni, nf)] = pool.submit(_read, ni, nf)
-        kp = extract_keypoints(vol, surf, mask=mask)
-        if pending_write is not None:
-            pending_write.result()
-        pending_write = pool.submit(write_keypoints, out, kp)
-        if verbose:
-            print(
-                f"extracted {len(kp)} keypoints from {os.path.basename(f)}"
-                f" in {time.time() - t0:.1f}s -> {out}"
-            )
+        # dispatch volume k BEFORE paying volume k-1's readback: the
+        # device crunches k while the (slow, remote) result tunnel drains
+        dispatched = extract_keypoints_async(vol, surf, mask=mask)
+        if pending is not None:
+            finish(pending)
+        pending = (dispatched, out, os.path.basename(f), t0)
+    if pending is not None:
+        finish(pending)
     if pending_write is not None:
         pending_write.result()
     pool.shutdown()
@@ -411,6 +427,10 @@ def run_pipeline(
     masks = find_inputs(masks_path) if masks_path else None
 
     t0 = time.time()
+    from .ops.matcher import warm_matcher
+
+    # overlap the matcher compiles with the extraction device work
+    warm_matcher(surf.n_points, match_params.scale_ratio)
     keypoint_files = extract_stage(
         files, surf, out_dir, masks=masks, skip_existing=skip_existing,
         verbose=verbose,

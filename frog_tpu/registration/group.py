@@ -64,6 +64,10 @@ class GroupConfig:
     single_file_transforms: bool = False
     write_pairs: bool = False
     verbose: bool = True
+    # Fire background compiles of every stage executable at predicted
+    # shapes when the run starts (utils/aot.py): the serial inline chain
+    # of ~20 s remote-service compiles collapses to roughly one.
+    aot_warm: bool = True
     # -dlinear / -dstats debug prints (imageGroup.cxx:47-48,60-62,95).
     # The reference prints every iteration; here stages are single fused
     # dispatches, so these fire at every chunk boundary (where the arrays
@@ -186,6 +190,7 @@ class GroupRegistration:
         affine = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
         for i in range(self.config.n_fixed, self.n_real):
             affine[i, :3, 3] = avg - anchors[i]
+        self._affine_host = affine  # host mirror for shape prediction
         self.arrays = dataclasses.replace(self.arrays, affine=jnp.asarray(affine))
 
     # ------------------------------------------------------------ device steps
@@ -481,9 +486,81 @@ class GroupRegistration:
             return self._finish()
         return self._run_fresh()
 
+    def _warm_stages(self):
+        """Background-compile the linear stage, the state report, and
+        every deformable level's basis/stage/apply executables at
+        PREDICTED shapes (utils/aot.py) — stage scans take a dynamic
+        ``n_live``, so warming with ``n_live=0`` compiles the exact
+        executable while executing nothing.  Grid dims are predicted from
+        the anchor-aligned host bbox; a level whose true post-linear dims
+        differ simply compiles inline as before (prediction is only a
+        cold-start optimization, never a correctness input)."""
+        cfg = self.config
+        if jax.default_backend() == "cpu":
+            return  # warming targets the remote-compile TPU path
+        from ..transforms.bspline import grid_from_bbox
+        from ..utils import aot
+
+        lm = self._lm_device
+        if cfg.linear_iterations and not (cfg.use_ransac and cfg.n_fixed):
+            aot.warm(
+                _jit_linear_stage,
+                self.arrays, self.movable, jnp.float32(cfg.linear_alpha),
+                cfg.use_scale, cfg.linear_iterations, jnp.int32(0),
+                jnp.int32(0), cfg.stat_interval, cfg.em_max_iterations,
+                cfg.em_epsilon, self._em_stride(), lm, self._em_reservoir(),
+            )
+        aot.warm(
+            _jit_state_report,
+            self.arrays, self.movable, jnp.float32(cfg.inlier_threshold),
+            cfg.histogram_bins,
+        )
+        if not cfg.deformable_levels:
+            return
+        # predicted post-linear bbox: anchor-aligned host coordinates
+        xyz = self.meta.xyz_host
+        valid = self.meta.point_valid_host
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        for i in range(cfg.n_fixed, self.n_real):
+            pts = xyz[i][valid[i]] + self._affine_host[i, :3, 3]
+            lo = np.minimum(lo, pts.min(0))
+            hi = np.maximum(hi, pts.max(0))
+        n = self.arrays.n_images
+        constraint_weight = self.n_real * cfg.landmarks_constraint_weight
+        subtract_mean = cfg.n_fixed == 0
+
+        def warm_level(level):
+            size = cfg.initial_grid_size / (2.0**level)
+            dims, origin, spacing = grid_from_bbox(
+                lo, hi, size, margin=cfg.bbox_margin
+            )
+            origin_d = jnp.asarray(origin, jnp.float32)
+            spacing_d = jnp.asarray(spacing, jnp.float32)
+            basis = _jit_basis(origin_d, spacing_d, dims, self.arrays.xyz)
+            coeffs = jnp.zeros((n, *dims, 3), jnp.float32)
+            _jit_apply_sep(coeffs, basis, self.arrays.xyz)
+            return _jit_deformable_stage(
+                self.arrays, self.movable, coeffs, basis,
+                jnp.asarray(cfg.max_displacement_ratio * np.asarray(spacing),
+                            jnp.float32),
+                jnp.float32(cfg.deformable_alpha), cfg.inlier_threshold,
+                constraint_weight, subtract_mean,
+                cfg.guarantee_diffeomorphism, cfg.deformable_iterations,
+                jnp.int32(0), jnp.int32(0), cfg.stat_interval,
+                cfg.em_max_iterations, cfg.em_epsilon, self._em_stride(),
+                lm, self._em_reservoir(), self.n_real,
+                self.meta.has_constraints,
+            )
+
+        for level in range(cfg.deformable_levels):
+            aot.warm(warm_level, level)
+
     def _run_fresh(self):
         cfg = self.config
         self._setup_linear_transforms()
+        if cfg.aot_warm:
+            self._warm_stages()
         self.arrays = self._transform_affine(self.arrays)
 
         if cfg.use_ransac and cfg.n_fixed:

@@ -1,7 +1,8 @@
 """Standalone HTML viewer for a registered group — the functional core of
-the reference's L5 visualization layer (js/pointsViewer.js:1-101 scope:
-render every image's keypoint cloud in the common space with per-image
-colors and visibility toggles).
+the reference's L5 visualization layer (js/pointsViewer.js:1-101 scope,
+plus the residual-inspection affordances of
+js/groupwiseDeformableRegistration.js: per-point error coloring and a
+linear-vs-final state toggle).
 
 Instead of the desk-client three.js apps, this writes ONE self-contained
 HTML file (inline WebGL renderer, base64 float data, no network or
@@ -31,6 +32,32 @@ def _colors(n):
     return out
 
 
+def _b64(a):
+    return base64.b64encode(np.ascontiguousarray(a, "<f4").tobytes()).decode()
+
+
+def _link_errors(graph, clouds):
+    """Per-point mean distance to linked partners in the given space —
+    the per-point residual of errorMaps (imageGroup.cxx:475-567), here on
+    the keypoints themselves."""
+    n = len(clouds)
+    sums = [np.zeros(len(c), np.float64) for c in clouds]
+    cnts = [np.zeros(len(c), np.int64) for c in clouds]
+    for (i, j), m in graph.matches.items():
+        if m.shape[0] == 0:
+            continue
+        d = np.linalg.norm(
+            clouds[i][m[:, 0]] - clouds[j][m[:, 1]], axis=1
+        )
+        np.add.at(sums[i], m[:, 0], d)
+        np.add.at(cnts[i], m[:, 0], 1)
+        np.add.at(sums[j], m[:, 1], d)
+        np.add.at(cnts[j], m[:, 1], 1)
+    return [
+        (s / np.maximum(c, 1)).astype(np.float32) for s, c in zip(sums, cnts)
+    ]
+
+
 def export_group_viewer(
     run_dir: str,
     output: str | None = None,
@@ -39,53 +66,79 @@ def export_group_viewer(
     transforms_dir: str = "transforms",
 ):
     """Render the group from a run directory: each image's keypoints pushed
-    through its saved transform chain into the common space.
+    through its saved transform chain into the common space, with a
+    before/after toggle (chain trimmed to the linear transform vs the full
+    chain) and link-residual heat coloring.
 
     Returns the written HTML path.
     """
     import jax.numpy as jnp
 
     from ..io.pairs import read_pairs
+    from ..transforms.chain import TransformChain
     from ..transforms.io import read_transform
 
     graph = read_pairs(os.path.join(run_dir, pairs_file))
-    clouds = []
-    names = []
-    positions = []
+    full, linear, names = [], [], []
     for i, img in enumerate(graph.images):
         xyz = np.asarray(img.xyz, np.float32)
+        fin = lin = xyz
         tf = os.path.join(run_dir, transforms_dir, f"{i}.json")
         if os.path.exists(tf):
             chain = read_transform(tf)
-            xyz = np.asarray(chain(jnp.asarray(xyz)), np.float32)
-        if xyz.shape[0] > max_points:
-            step = -(-xyz.shape[0] // max_points)
-            xyz = xyz[::step]
-        clouds.append(xyz)
+            fin = np.asarray(chain(jnp.asarray(xyz)), np.float32)
+            trimmed = TransformChain(transforms=chain.transforms[:1])
+            lin = np.asarray(trimmed(jnp.asarray(xyz)), np.float32)
+        full.append(fin)
+        linear.append(lin)
         names.append(img.name or f"image {i}")
-        positions.append(xyz.mean(axis=0).tolist() if len(xyz) else [0, 0, 0])
 
-    center = np.concatenate(clouds).mean(axis=0)
+    err_fin = _link_errors(graph, full)
+    err_lin = _link_errors(graph, linear)
+    # one shared heat scale: the linear state's p95 residual, so the
+    # deformable improvement reads as the cloud cooling down
+    all_lin = np.concatenate(err_lin) if err_lin else np.zeros(1)
+    escale = float(np.percentile(all_lin, 95) + 1e-9)
+
+    keep_idx = []
+    for c in full:
+        step = max(1, -(-c.shape[0] // max_points))
+        keep_idx.append(np.arange(0, c.shape[0], step))
+
+    center = np.concatenate([c[k] for c, k in zip(full, keep_idx)]).mean(axis=0)
     radius = float(
         np.percentile(
-            np.linalg.norm(np.concatenate(clouds) - center, axis=1), 95
+            np.linalg.norm(
+                np.concatenate([c[k] for c, k in zip(full, keep_idx)]) - center,
+                axis=1,
+            ),
+            95,
         )
         + 1e-3
     )
-    data = [
-        {
-            "name": names[i],
-            "count": int(c.shape[0]),
-            "color": col,
-            "xyz": base64.b64encode(
-                np.ascontiguousarray(c - center, "<f4").tobytes()
-            ).decode(),
-            "position": positions[i],
-        }
-        for i, (c, col) in enumerate(zip(clouds, _colors(len(clouds))))
-    ]
-    html = _TEMPLATE.replace("/*DATA*/", json.dumps(data)).replace(
-        "/*RADIUS*/", repr(radius)
+    data = []
+    for i, col in enumerate(_colors(len(full))):
+        k = keep_idx[i]
+        data.append(
+            {
+                "name": names[i],
+                "count": int(len(k)),
+                "color": col,
+                "fin": _b64(full[i][k] - center),
+                "lin": _b64(linear[i][k] - center),
+                "efin": _b64(np.clip(err_fin[i][k] / escale, 0, 1)),
+                "elin": _b64(np.clip(err_lin[i][k] / escale, 0, 1)),
+            }
+        )
+    stats = {
+        "escale": escale,
+        "mean_lin": float(all_lin.mean()),
+        "mean_fin": float(np.concatenate(err_fin).mean()) if err_fin else 0.0,
+    }
+    html = (
+        _TEMPLATE.replace("/*DATA*/", json.dumps(data))
+        .replace("/*RADIUS*/", repr(radius))
+        .replace("/*STATS*/", json.dumps(stats))
     )
     out = output or os.path.join(run_dir, "view.html")
     with open(out, "w") as f:
@@ -101,20 +154,36 @@ _TEMPLATE = """<!doctype html>
         border-radius:6px;max-height:90vh;overflow:auto}
  #panel label{display:block;cursor:pointer;margin:2px 0}
  .sw{display:inline-block;width:10px;height:10px;margin-right:6px;border-radius:2px}
+ .grp{margin:6px 0;padding-top:6px;border-top:1px solid #333}
+ .grp label{display:inline-block;margin-right:10px}
  canvas{display:block}
 </style></head><body>
 <canvas id="c"></canvas><div id="panel"><b>frog-tpu group</b><br>
-<span style="opacity:.6">drag: orbit &middot; wheel: zoom</span></div>
+<span style="opacity:.6">drag: orbit &middot; wheel: zoom</span>
+<div class="grp">state:
+ <label><input type="radio" name="st" value="lin">linear</label>
+ <label><input type="radio" name="st" value="fin" checked>final</label></div>
+<div class="grp">color:
+ <label><input type="radio" name="cm" value="img" checked>by image</label>
+ <label><input type="radio" name="cm" value="err">residual heat</label></div>
+<div class="grp" id="stats"></div>
+</div>
 <script>
 const DATA = /*DATA*/;
 const RADIUS = /*RADIUS*/;
+const STATS = /*STATS*/;
+let STATE = 'fin', CMODE = 0;
 const canvas = document.getElementById('c');
 const gl = canvas.getContext('webgl');
-const vsrc = `attribute vec3 p;uniform mat4 mvp;uniform float ps;
- void main(){gl_Position=mvp*vec4(p,1.0);gl_PointSize=ps;}`;
-const fsrc = `precision mediump float;uniform vec3 col;
+const vsrc = `attribute vec3 p;attribute float e;uniform mat4 mvp;
+ uniform float ps;varying float ve;
+ void main(){gl_Position=mvp*vec4(p,1.0);gl_PointSize=ps;ve=e;}`;
+const fsrc = `precision mediump float;uniform vec3 col;uniform float cmode;
+ varying float ve;
  void main(){vec2 d=gl_PointCoord-vec2(0.5);
- if(dot(d,d)>0.25)discard;gl_FragColor=vec4(col,0.85);}`;
+ if(dot(d,d)>0.25)discard;
+ vec3 heat=mix(vec3(0.15,0.35,1.0),vec3(1.0,0.2,0.1),ve);
+ gl_FragColor=vec4(mix(col,heat,cmode),0.85);}`;
 function sh(t,s){const o=gl.createShader(t);gl.shaderSource(o,s);
  gl.compileShader(o);return o;}
 const prog = gl.createProgram();
@@ -122,19 +191,23 @@ gl.attachShader(prog, sh(gl.VERTEX_SHADER, vsrc));
 gl.attachShader(prog, sh(gl.FRAGMENT_SHADER, fsrc));
 gl.linkProgram(prog); gl.useProgram(prog);
 const loc_p = gl.getAttribLocation(prog,'p');
+const loc_e = gl.getAttribLocation(prog,'e');
 const u_mvp = gl.getUniformLocation(prog,'mvp');
 const u_col = gl.getUniformLocation(prog,'col');
 const u_ps = gl.getUniformLocation(prog,'ps');
-const clouds = DATA.map(d=>{
-  const bytes = atob(d.xyz);
+const u_cm = gl.getUniformLocation(prog,'cmode');
+function vbo(b64){
+  const bytes = atob(b64);
   const buf = new Uint8Array(bytes.length);
   for(let i=0;i<bytes.length;i++) buf[i]=bytes.charCodeAt(i);
-  const arr = new Float32Array(buf.buffer);
-  const vbo = gl.createBuffer();
-  gl.bindBuffer(gl.ARRAY_BUFFER, vbo);
-  gl.bufferData(gl.ARRAY_BUFFER, arr, gl.STATIC_DRAW);
-  return {vbo, n:d.count, color:d.color, visible:true, name:d.name};
-});
+  const v = gl.createBuffer();
+  gl.bindBuffer(gl.ARRAY_BUFFER, v);
+  gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(buf.buffer), gl.STATIC_DRAW);
+  return v;
+}
+const clouds = DATA.map(d=>({
+  n:d.count, color:d.color, visible:true, name:d.name,
+  fin:vbo(d.fin), lin:vbo(d.lin), efin:vbo(d.efin), elin:vbo(d.elin)}));
 const panel = document.getElementById('panel');
 clouds.forEach((c,i)=>{
   const l=document.createElement('label');
@@ -146,6 +219,13 @@ clouds.forEach((c,i)=>{
   l.appendChild(document.createTextNode(`${c.name} (${c.n})`));
   panel.appendChild(l);
 });
+document.getElementById('stats').textContent =
+  `mean residual: linear ${STATS.mean_lin.toFixed(2)} -> final `+
+  `${STATS.mean_fin.toFixed(2)} (heat scale ${STATS.escale.toFixed(2)})`;
+for(const r of document.querySelectorAll('input[name=st]'))
+  r.onchange=()=>{STATE=r.value;};
+for(const r of document.querySelectorAll('input[name=cm]'))
+  r.onchange=()=>{CMODE=(r.value==='err')?1:0;};
 let theta=0.5, phi=0.4, dist=RADIUS*3;
 canvas.onmousedown=e=>{
   const sx=e.clientX, sy=e.clientY, t0=theta, p0=phi;
@@ -177,11 +257,15 @@ function draw(){
   gl.clearColor(0.063,0.063,0.078,1); gl.clear(gl.COLOR_BUFFER_BIT);
   gl.uniformMatrix4fv(u_mvp,false,new Float32Array(mat()));
   gl.uniform1f(u_ps, 3.0);
+  gl.uniform1f(u_cm, CMODE);
   for(const c of clouds){
     if(!c.visible) continue;
-    gl.bindBuffer(gl.ARRAY_BUFFER,c.vbo);
+    gl.bindBuffer(gl.ARRAY_BUFFER, STATE==='fin'?c.fin:c.lin);
     gl.enableVertexAttribArray(loc_p);
     gl.vertexAttribPointer(loc_p,3,gl.FLOAT,false,0,0);
+    gl.bindBuffer(gl.ARRAY_BUFFER, STATE==='fin'?c.efin:c.elin);
+    gl.enableVertexAttribArray(loc_e);
+    gl.vertexAttribPointer(loc_e,1,gl.FLOAT,false,0,0);
     gl.uniform3fv(u_col,c.color);
     gl.drawArrays(gl.POINTS,0,c.n);
   }

@@ -118,7 +118,7 @@ int main(int argc, char** argv) {
     int nDeform = atoi(argv[3]);
     double gridSize = atof(argv[4]);
     size_t maxEM = argc > 5 ? (size_t)atol(argv[5]) : 10000;
-    const char* dumpPath = argc > 6 ? argv[6] : nullptr;
+    const char* dumpPath = argc > 6 && argv[6][0] ? argv[6] : nullptr;
     int nLevels = argc > 7 ? atoi(argv[7]) : 1;
     bool guarantee = argc > 8 ? atoi(argv[8]) != 0 : false;
     double maxRatio = argc > 9 ? atof(argv[9]) : 0.4;

@@ -196,7 +196,9 @@ def test_cli_extract_and_match(volume_dir, tmp_path):
 
 def test_cli_view(pipeline_run):
     """frog-tpu view writes a self-contained HTML page embedding every
-    image's transformed keypoint cloud (L5 viewer, js/pointsViewer.js)."""
+    image's transformed keypoint cloud in BOTH states (linear-only and
+    final chain) with per-point link residuals (L5 viewer:
+    js/pointsViewer.js scope + the residual inspection of the demo apps)."""
     d, shifts, out = pipeline_run
     rc = main(["view", str(out), "-o", str(out / "view.html"), "-n", "500"])
     assert rc == 0
@@ -207,8 +209,20 @@ def test_cli_view(pipeline_run):
     assert len(data) == 3
     import base64
 
+    def arr(b64):
+        return np.frombuffer(base64.b64decode(b64), "<f4")
+
     for entry in data:
-        xyz = np.frombuffer(base64.b64decode(entry["xyz"]), "<f4")
-        assert xyz.shape[0] == entry["count"] * 3
+        for key in ("fin", "lin"):
+            xyz = arr(entry[key])
+            assert xyz.shape[0] == entry["count"] * 3
+            assert np.isfinite(xyz).all()
+        for key in ("efin", "elin"):
+            e = arr(entry[key])
+            assert e.shape[0] == entry["count"]
+            assert (e >= 0).all() and (e <= 1).all()
         assert entry["count"] > 50
-        assert np.isfinite(xyz).all()
+    start = html.index("const STATS = ") + len("const STATS = ")
+    stats = json.loads(html[start : html.index(";\n", start)])
+    # registration must have reduced the mean link residual
+    assert stats["mean_fin"] <= stats["mean_lin"]
