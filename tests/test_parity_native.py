@@ -273,6 +273,61 @@ def test_fixed_mode_positions_match(parity_runs_fixed):
         np.testing.assert_allclose(got, want, atol=2e-3 * scale)
 
 
+@pytest.mark.parametrize("mode", ["stride", "reservoir"])
+def test_em_subsample_modes_match_native(tmp_path, mode):
+    """EM subsampling (the reference's 10k reservoir, stats.h:36-76) in
+    both the deterministic-stride and the random-acceptance mode: sample
+    SETS necessarily differ across implementations (different link
+    orderings / RNGs), so the bar is statistical — the energy
+    trajectories and final EM parameters must land in the same regime as
+    the C++ oracle's strided run."""
+    if not _ensure_binary():
+        pytest.skip("no C++ toolchain for native baseline")
+    graph, _ = make_synthetic_group(
+        seed=51,
+        n_images=4,
+        n_points=300,
+        extent=200.0,
+        warp_amp=4.0,
+        noise=0.5,
+        outlier_fraction=0.15,
+        match_fraction=0.9,
+    )
+    pairs = str(tmp_path / "pairs.bin")
+    write_pairs(pairs, graph)
+    dump = str(tmp_path / "dump.json")
+    cap = 1500
+    subprocess.run(
+        [BIN, pairs, "12", "12", str(GRID_SIZE), str(cap), dump],
+        check=True,
+        capture_output=True,
+    )
+    with open(dump) as f:
+        native = json.load(f)
+
+    cfg = GroupConfig(
+        linear_iterations=12,
+        deformable_levels=1,
+        deformable_iterations=12,
+        initial_grid_size=GRID_SIZE,
+        guarantee_diffeomorphism=False,
+        em_max_samples=cap,
+        em_sampling=mode,
+        verbose=False,
+    )
+    reg = GroupRegistration(graph, cfg)
+    reg.run()
+    es = np.asarray([m.E for m in reg.measures])
+    native_es = np.asarray(native["es_linear"] + native["es_deform"])
+    np.testing.assert_allclose(es, native_es, rtol=0.05)
+    em = np.asarray(reg.arrays.em)
+    native_em = np.asarray([im["em"] for im in native["images"]])
+    # same inlier/outlier regime: c1 within 25%, ratio within 0.15
+    assert np.all(np.abs(em[:, 0] - native_em[:, 0])
+                  <= 0.25 * native_em[:, 0] + 0.5)
+    assert np.all(np.abs(em[:, 2] - native_em[:, 2]) <= 0.15)
+
+
 def test_final_coefficients_match(parity_runs):
     native, reg = parity_runs
     dims = native["grid"]["dims"]
