@@ -219,6 +219,13 @@ def build_parser() -> argparse.ArgumentParser:
     vw.add_argument("-o", dest="output", default=None)
     vw.add_argument("-n", dest="max_points", type=int, default=5000)
 
+    # ---- serve (the interactive L5 apps, js/*.js + js/lib/FROG.js)
+    sv = sub.add_parser("serve", help="web app server (interactive UIs)")
+    sv.add_argument("root", help="data root containing volumes")
+    sv.add_argument("-p", dest="port", type=int, default=8080)
+    sv.add_argument("-w", dest="work_dir", default=None,
+                    help="job output directory (default <root>/frog_jobs)")
+
     # ---- register2 (tools/register2volumes.py)
     r2 = sub.add_parser("register2", help="pairwise registration of 2 volumes")
     r2.add_argument("volume1")
@@ -576,6 +583,14 @@ def main(argv=None):
             args.run_dir, output=args.output, max_points=args.max_points
         )
         print(f"written {out}")
+    elif cmd == "serve":
+        from .tools.server import serve
+
+        httpd, _ = serve(args.root, port=args.port, work_dir=args.work_dir)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
     elif cmd == "register2":
         from .ops.surf3d import SurfParams
         from .registration import GroupConfig
