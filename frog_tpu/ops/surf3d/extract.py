@@ -38,6 +38,10 @@ class SurfParams:
     subvoxel: bool = True
     descriptor: str = "surf"  # "surf" (48-float) or "raw" (-type 1)
     raw_radius: int = 2  # -r: raw subvolume radius in sigma-spaced samples
+    # wire dtype of the volume upload ("float32" | "float16"): f16 halves
+    # the host->device transfer (the per-volume bottleneck on a
+    # remote-attached chip); compute stays f32 on device
+    transfer_dtype: str = "float32"
 
 
 from functools import partial
@@ -168,7 +172,9 @@ def extract_keypoints_async(
     # readback (resample_to_device).
     from .resample import resample_to_device
 
-    data, extent, iso_origin = resample_to_device(vol, params.spacing)
+    data, extent, iso_origin = resample_to_device(
+        vol, params.spacing, transfer_dtype=np.dtype(params.transfer_dtype)
+    )
     iso_spacing = np.full(3, float(params.spacing))
 
     mask_vals = None
