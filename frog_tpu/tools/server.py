@@ -171,6 +171,10 @@ def _surf_params(p: dict):
         kw["spacing"] = float(p["spacing"])
     if p.get("threshold") is not None:
         kw["threshold"] = float(p["threshold"])
+    # the reference's RAW extraction mode (SURF3D action with type: 1,
+    # FROG.js:64-69)
+    if p.get("type") == 1 or p.get("descriptor") == "raw":
+        kw["descriptor"] = "raw"
     return SurfParams(**kw)
 
 

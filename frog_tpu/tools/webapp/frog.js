@@ -70,7 +70,10 @@ FROG.DeformableGroupwiseRegistration = class extends EventEmitter {
   }
   async execute() {
     const o = this.options;
-    const surf = o.SURF3DParams || {};
+    // RAW subvolume descriptors (reference SURF3D action with type: 1,
+    // FROG.js:64-69) take over when useRAW is set
+    const surf = (o.useRAW ? Object.assign({ type: 1 }, o.RAWParams)
+                           : o.SURF3DParams) || {};
     const match = o.matchParams || {};
     const reg = o.registrationParams || {};
     const params = {
@@ -78,6 +81,7 @@ FROG.DeformableGroupwiseRegistration = class extends EventEmitter {
       numberOfPoints: surf.numberOfPoints,
       spacing: surf.spacing,
       threshold: surf.threshold,
+      type: surf.type,
       distance: match.distance,
       distanceToSecond: match.distanceToSecond,
       linearIterations: reg.linearIterations,
