@@ -262,10 +262,14 @@ def descriptors_dense(
     slot = {s: i for i, s in enumerate(uniq)}
     scale_to_slot = jnp.asarray([slot[s] for s in sizes], jnp.int32)
 
+    # One packed table row per voxel: [dx, dy, dz] side by side, so the
+    # whole Haar triple rides a SINGLE gather — TPU gather cost is per
+    # index (one tile regardless of row width, see kernels._dst_table),
+    # so this is 3x fewer tile fetches than separate dx/dy/dz gathers.
     stacks = [dense_haar(volume, s) for s in uniq]
-    sx = jnp.stack([t[0] for t in stacks]).astype(dtype).reshape(len(uniq), -1)
-    sy = jnp.stack([t[1] for t in stacks]).astype(dtype).reshape(len(uniq), -1)
-    sz = jnp.stack([t[2] for t in stacks]).astype(dtype).reshape(len(uniq), -1)
+    table = jnp.stack(
+        [jnp.stack([t[0], t[1], t[2]], axis=-1).reshape(-1, 3) for t in stacks]
+    ).astype(dtype).reshape(-1, 3)  # (u * nvox, 3)
 
     flat_offs, gw, sub = _sample_offsets()
     pos = positions[:, None, :] + sigmas[:, None, None] * flat_offs[None]
@@ -279,10 +283,8 @@ def descriptors_dense(
     nvox = volume.shape[0] * volume.shape[1] * volume.shape[2]
     idx = scale_to_slot[scale_idx][:, None] * nvox + vox
 
-    dx = sx.reshape(-1)[idx].astype(jnp.float32)
-    dy = sy.reshape(-1)[idx].astype(jnp.float32)
-    dz = sz.reshape(-1)[idx].astype(jnp.float32)
-    return _pool_descriptor(dx, dy, dz, gw, sub)
+    g = table[idx].astype(jnp.float32)  # (K, M, 3)
+    return _pool_descriptor(g[..., 0], g[..., 1], g[..., 2], gw, sub)
 
 
 @partial(jax.jit, static_argnames=())

@@ -31,12 +31,12 @@ import numpy as np
 __all__ = ["hessian_response", "scale_stack_sizes", "detect"]
 
 
-def _shift_sum(x, axis, w):
-    """Running box sum of width ``w`` along ``axis`` (zero-padded borders),
-    centered: out[i] = sum_{j in [i-w//2, i+w//2]} x[j], w odd."""
-    c = jnp.cumsum(x, axis=axis)
+def _win(c, axis, w):
+    """Centered running box sum of width ``w`` from a precomputed cumsum
+    ``c`` (zero-padded borders): out[i] = sum_{j in [i-w//2, i+w//2]} x[j],
+    w odd."""
     h = w // 2
-    n = x.shape[axis]
+    n = c.shape[axis]
     idx_hi = jnp.clip(jnp.arange(n) + h, 0, n - 1)
     idx_lo = jnp.arange(n) - h - 1
     hi = jnp.take(c, idx_hi, axis=axis)
@@ -48,8 +48,31 @@ def _shift_sum(x, axis, w):
     return hi - lo
 
 
+def _shift_sum(x, axis, w):
+    return _win(jnp.cumsum(x, axis=axis), axis, w)
+
+
 def _box(x, wx, wy, wz):
     return _shift_sum(_shift_sum(_shift_sum(x, 0, wx), 1, wy), 2, wz)
+
+
+def _boxes_shared(volume, widths):
+    """All box filters in ``widths`` (set of (wx, wy, wz)) with shared
+    per-axis cumsums: one axis-0 cumsum serves every wx, each distinct
+    partial serves every downstream width — 7 cumsums instead of 18 for
+    the Hessian's six filters.  Identical pass order to _box, so results
+    are bit-identical."""
+    out = {}
+    c0 = jnp.cumsum(volume, axis=0)
+    for wx in {w[0] for w in widths}:
+        a = _win(c0, 0, wx)
+        c1 = jnp.cumsum(a, axis=1)
+        for wy in {w[1] for w in widths if w[0] == wx}:
+            b = _win(c1, 1, wy)
+            c2 = jnp.cumsum(b, axis=2)
+            for wz in {w[2] for w in widths if w[0] == wx and w[1] == wy}:
+                out[(wx, wy, wz)] = _win(c2, 2, wz)
+    return out
 
 
 def _shift(x, axis, d):
@@ -73,33 +96,39 @@ def hessian_response(volume: jax.Array, m: int):
     w = 2 * m - 1  # transverse box extent
     norm = 1.0 / (3 * m) ** 3  # filter-volume normalization
 
+    # --- all six box filters with shared per-axis cumsums
+    boxes = _boxes_shared(
+        volume,
+        {(m, w, w), (w, m, w), (w, w, m), (m, m, w), (m, w, m), (w, m, m)},
+    )
+
     # --- second derivatives: lobe box is (m, w, w) along the probed axis
-    bx = _box(volume, m, w, w)
+    bx = boxes[(m, w, w)]
     dxx = _shift(bx, 0, -m) - 2.0 * bx + _shift(bx, 0, m)
-    by = _box(volume, w, m, w)
+    by = boxes[(w, m, w)]
     dyy = _shift(by, 1, -m) - 2.0 * by + _shift(by, 1, m)
-    bz = _box(volume, w, w, m)
+    bz = boxes[(w, w, m)]
     dzz = _shift(bz, 2, -m) - 2.0 * bz + _shift(bz, 2, m)
 
     # --- cross derivatives: quadrant boxes (m, m, w); the four quadrants
     # are centered at offsets +-h along the two probed axes,
     # h = (m + 1) / 2 so that the boxes touch the axis lines.
     h = (m + 1) // 2
-    bxy = _box(volume, m, m, w)
+    bxy = boxes[(m, m, w)]
     dxy = (
         _shift(_shift(bxy, 0, -h), 1, -h)
         + _shift(_shift(bxy, 0, h), 1, h)
         - _shift(_shift(bxy, 0, -h), 1, h)
         - _shift(_shift(bxy, 0, h), 1, -h)
     )
-    bxz = _box(volume, m, w, m)
+    bxz = boxes[(m, w, m)]
     dxz = (
         _shift(_shift(bxz, 0, -h), 2, -h)
         + _shift(_shift(bxz, 0, h), 2, h)
         - _shift(_shift(bxz, 0, -h), 2, h)
         - _shift(_shift(bxz, 0, h), 2, -h)
     )
-    byz = _box(volume, w, m, m)
+    byz = boxes[(w, m, m)]
     dyz = (
         _shift(_shift(byz, 1, -h), 2, -h)
         + _shift(_shift(byz, 1, h), 2, h)
