@@ -54,10 +54,10 @@ from functools import partial
 
 @partial(
     jax.jit,
-    static_argnames=("lobes", "n_points", "subvoxel", "use_mask", "descriptor",
-                     "raw_radius", "exact_topk"),
+    static_argnames=("lobes", "n_points", "subvoxel", "use_mask",
+                     "exact_topk"),
 )
-def _extract_device(
+def _detect_device(
     data,  # (X, Y, Z) f32 isotropic volume, already on device
     mask_vals,  # (X, Y, Z) bool or None
     extent,  # (3,) i32 true (unpadded) dims; peaks beyond are dropped
@@ -66,16 +66,21 @@ def _extract_device(
     threshold: float,
     subvoxel: bool,
     use_mask: bool,
-    descriptor: str,
-    raw_radius: int,
     exact_topk: bool = False,
 ):
-    """The whole detector+descriptor pipeline as ONE device computation.
+    """Detector half of the extraction pipeline: scale-stack responses,
+    NMS, top-k, sub-voxel refinement — packed into the (k, 7) header.
 
     Only O(n_points) outputs cross back to the host — essential when the
     device is remote-attached (host<->device bandwidth is the bottleneck,
     not compute).  The volume is bucket-padded to shared shapes so one
     compile serves many volumes; ``extent`` masks the padded band.
+
+    Split from the descriptor half so the two executables COMPILE IN
+    PARALLEL on a cold start (extract_keypoints_async pre-warms the
+    descriptor on an aot thread while this compile blocks inline); the
+    split point carries only O(n_points) device-resident intermediates,
+    so the warm path is unchanged.
     """
     responses, laps = detect(data, lobes)
     laps = laps.astype(jnp.int8)
@@ -136,19 +141,8 @@ def _extract_device(
             offsets.append(jnp.where(ok, jnp.clip(off, -0.5, 0.5), 0.0))
         pos = pos + jnp.stack(offsets, axis=1)
 
-    if descriptor == "raw":
-        desc = _raw_descriptor_samples(data, pos, sigma_vox, raw_radius)
-    else:
-        from .descriptor import descriptors_dense
-
-        desc = descriptors_dense(data, pos, sigma_vox, s_idx, lobes)
-
-    # Pack the scalar outputs into ONE f32 array and ship descriptors in
-    # bf16: the remote device->host tunnel runs at ~0.1-3 MB/s with an
-    # RTT per transfer, so 6 readbacks of 4.4 MB become 2 of 2.5 MB.
-    # Descriptors are normalized sums of hundreds of Haar samples already
-    # computed from bf16 volumes; the extra 0.4% quantization is below
-    # the matching-power noise floor (tests/test_descriptor_metrics.py).
+    # Pack the scalar outputs into ONE f32 array: the remote device->host
+    # tunnel pays an RTT per transfer, so 6 readbacks become 2.
     header = jnp.concatenate(
         [
             pos,
@@ -159,8 +153,24 @@ def _extract_device(
         ],
         axis=1,
     )
-    desc16 = desc.astype(jnp.bfloat16) if descriptor == "surf" else desc
-    return header, desc16
+    return header, s_idx
+
+
+@partial(jax.jit, static_argnames=("lobes", "descriptor", "raw_radius"))
+def _describe_device(data, header, s_idx, lobes, descriptor, raw_radius):
+    """Descriptor half: Haar descriptors (or raw subvolumes) at the
+    detected keypoints.  Ships bf16 — descriptors are normalized sums of
+    hundreds of Haar samples already computed from bf16 volumes; the 0.4%
+    quantization is below the matching-power noise floor
+    (tests/test_descriptor_metrics.py)."""
+    pos = header[:, 0:3]
+    sigma_vox = header[:, 3]
+    if descriptor == "raw":
+        return _raw_descriptor_samples(data, pos, sigma_vox, raw_radius)
+    from .descriptor import descriptors_dense
+
+    desc = descriptors_dense(data, pos, sigma_vox, s_idx, lobes)
+    return desc.astype(jnp.bfloat16)
 
 
 def extract_keypoints(
@@ -210,7 +220,8 @@ def extract_keypoints_async(
         mask_vals = trilinear_sample(mdata, jnp.stack([cx, cy, cz], axis=-1)) > 0
 
     lobes = tuple(scale_stack_sizes(params.n_octaves))
-    header, desc = _extract_device(
+    _warm_describe(data, params, lobes)
+    header, s_idx = _detect_device(
         data,
         mask_vals if mask_vals is not None else jnp.zeros((1, 1, 1), bool),
         jnp.asarray(extent, jnp.int32),
@@ -219,11 +230,39 @@ def extract_keypoints_async(
         params.threshold,
         params.subvoxel,
         mask_vals is not None,
-        params.descriptor,
-        params.raw_radius,
         params.exact_topk,
     )
+    desc = _describe_device(
+        data, header, s_idx, lobes, params.descriptor, params.raw_radius
+    )
     return (header, desc), iso_origin, params
+
+
+_warmed_describe: set = set()
+
+
+def _warm_describe(data, params: SurfParams, lobes: tuple):
+    """Fire the descriptor executable's compile on an aot thread (with
+    throwaway inputs on the already-uploaded volume) so it proceeds IN
+    PARALLEL with the detector compile the caller is about to block on.
+    No-op after the first volume of a given signature."""
+    key = (data.shape, params.n_points, params.descriptor, params.raw_radius,
+           lobes)
+    if key in _warmed_describe:
+        return
+    _warmed_describe.add(key)
+    from ...utils import aot
+
+    k = min(params.n_points, int(np.prod(data.shape)) * len(lobes))
+    aot.warm(
+        _describe_device,
+        data,
+        jnp.zeros((k, 7), jnp.float32),
+        jnp.zeros((k,), jnp.int32),
+        lobes,
+        params.descriptor,
+        params.raw_radius,
+    )
 
 
 def finalize_keypoints(device_results, iso_origin, params) -> Keypoints:

@@ -135,6 +135,7 @@ def extract_stage(
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    os.makedirs(out_dir, exist_ok=True)
     pool = ThreadPoolExecutor(max_workers=2)
     work = []  # (index-in-files, out path)
     keypoint_files = []
