@@ -219,6 +219,11 @@ def build_parser() -> argparse.ArgumentParser:
     vw.add_argument("-o", dest="output", default=None)
     vw.add_argument("-n", dest="max_points", type=int, default=5000)
 
+    # ---- merge (mergePairs desk action: union two match graphs)
+    mg = sub.add_parser("merge", help="merge pairs.bin match graphs")
+    mg.add_argument("output")
+    mg.add_argument("inputs", nargs="+")
+
     # ---- serve (the interactive L5 apps, js/*.js + js/lib/FROG.js)
     sv = sub.add_parser("serve", help="web app server (interactive UIs)")
     sv.add_argument("root", help="data root containing volumes")
@@ -583,6 +588,14 @@ def main(argv=None):
             args.run_dir, output=args.output, max_points=args.max_points
         )
         print(f"written {out}")
+    elif cmd == "merge":
+        from .io.pairs import merge_pairs, read_pairs, write_pairs
+
+        g = read_pairs(args.inputs[0])
+        for path in args.inputs[1:]:
+            g = merge_pairs(g, read_pairs(path))
+        write_pairs(args.output, g)
+        print(f"{g.n_matches} matches -> {args.output}")
     elif cmd == "serve":
         from .tools.server import serve
 

@@ -23,7 +23,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["ImagePoints", "PairGraph", "read_pairs", "write_pairs"]
+__all__ = ["ImagePoints", "PairGraph", "read_pairs", "write_pairs",
+           "merge_pairs"]
 
 
 @dataclasses.dataclass
@@ -118,3 +119,41 @@ def write_pairs(path, graph: PairGraph, point_id_dtype=np.uint32) -> None:
         out += np.ascontiguousarray(m, dtype=pid).tobytes()
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+def merge_pairs(a: PairGraph, b: PairGraph) -> PairGraph:
+    """Union of two match graphs over the SAME volume list — the
+    reference's mergePairs desk action, used when matches come from two
+    extractors (e.g. SURF + RAW subvolumes, js/lib/FROG.js:162-171).
+
+    Each image's point list is the concatenation of the two sets, with
+    the second graph's match indices offset past the first's points.
+    """
+    if len(a.images) != len(b.images):
+        raise ValueError(
+            f"graphs cover {len(a.images)} vs {len(b.images)} images"
+        )
+    images = []
+    offsets = []
+    for ia, ib in zip(a.images, b.images):
+        offsets.append(ia.xyz.shape[0])
+        images.append(
+            ImagePoints(
+                name=ia.name,
+                ref_translation=ia.ref_translation,
+                xyz=np.concatenate([ia.xyz, ib.xyz]),
+                other=np.concatenate([ia.other, ib.other]),
+            )
+        )
+    matches: dict = {}
+    for (i, j), m in a.matches.items():
+        matches[(i, j)] = np.asarray(m, np.int64)
+    for (i, j), m in b.matches.items():
+        shifted = np.asarray(m, np.int64) + np.asarray(
+            [[offsets[i], offsets[j]]], np.int64
+        )
+        if (i, j) in matches:
+            matches[(i, j)] = np.concatenate([matches[(i, j)], shifted])
+        else:
+            matches[(i, j)] = shifted
+    return PairGraph(images=images, matches=matches)

@@ -194,13 +194,22 @@ def _extract_keypoints(job: Job, files: list[str]):
 
 def run_deformable(job: Job, files: list[str]):
     """FROG.DeformableGroupwiseRegistration.execute (js/lib/FROG.js:39-204):
-    extract -> match -> register with per-stage progress channels."""
+    one extract -> match round per enabled extractor (SURF and/or RAW,
+    FROG.js:62-157), graphs merged (mergePairs, :162-171), then register,
+    with per-stage progress channels."""
+    from ..io.pairs import merge_pairs, write_pairs
     from ..ops.matcher import MatchParams, warm_matcher
     from ..pipeline import extract_stage, match_stage, register_stage
     from ..registration.group import GroupConfig
 
     p = job.params
-    surf = _surf_params(p)
+    extractors = p.get("extractors")
+    if not extractors:
+        extractors = []
+        if p.get("useRAW"):
+            extractors.append({**(p.get("RAWParams") or {}), "type": 1})
+        if p.get("useSURF", True) or not extractors:
+            extractors.append({})
     mp = MatchParams(
         max_distance=float(p.get("distance", 1e10)),
         second_ratio=float(p.get("distanceToSecond", 1.0)),
@@ -213,17 +222,27 @@ def run_deformable(job: Job, files: list[str]):
         display_linear=True,
         verbose=True,
     )
-    job.channel = "log"
-    warm_matcher(surf.n_points, mp.scale_ratio)
-    kp_files = extract_stage(files, surf, job.dir, verbose=True)
-    job.channel = "matchLog"
-    graph = match_stage(
-        kp_files,
-        mp,
-        out_file=os.path.join(job.dir, "pairs.bin"),
-        n_points=surf.n_points,
-        verbose=True,
-    )
+    graph = kp_files = None
+    for idx, ep in enumerate(extractors):
+        surf = _surf_params({**p, **ep})
+        sub = job.dir if len(extractors) == 1 else os.path.join(
+            job.dir, f"ext{idx}")
+        job.channel = "log"
+        warm_matcher(surf.n_points, mp.scale_ratio)
+        kpf = extract_stage(files, surf, sub, verbose=True)
+        if kp_files is None:
+            kp_files = kpf
+        job.channel = "matchLog"
+        g = match_stage(
+            kpf,
+            mp,
+            out_file=os.path.join(sub, "pairs.bin"),
+            n_points=surf.n_points,
+            verbose=True,
+        )
+        graph = g if graph is None else merge_pairs(graph, g)
+    if len(extractors) > 1:
+        write_pairs(os.path.join(job.dir, "pairs.bin"), graph)
     job.channel = "registrationLog"
     reg = register_stage(graph, cfg, output_dir=job.dir)
     job.channel = "log"

@@ -70,10 +70,14 @@ FROG.DeformableGroupwiseRegistration = class extends EventEmitter {
   }
   async execute() {
     const o = this.options;
-    // RAW subvolume descriptors (reference SURF3D action with type: 1,
-    // FROG.js:64-69) take over when useRAW is set
-    const surf = (o.useRAW ? Object.assign({ type: 1 }, o.RAWParams)
-                           : o.SURF3DParams) || {};
+    // extractor rounds like the reference (FROG.js:62-92): RAW
+    // subvolumes (SURF3D action with type: 1) and/or SURF; with both,
+    // the server matches each set and merges the graphs (mergePairs)
+    const extractors = [];
+    if (o.useRAW) extractors.push(Object.assign({ type: 1 }, o.RAWParams));
+    if (o.useSURF !== false || !extractors.length)
+      extractors.push(o.SURF3DParams || {});
+    const surf = extractors[extractors.length - 1];
     const match = o.matchParams || {};
     const reg = o.registrationParams || {};
     const params = {
@@ -90,6 +94,7 @@ FROG.DeformableGroupwiseRegistration = class extends EventEmitter {
       initialGridSize: reg.initialGridSize,
       computeAverage: o.computeAverage,
       averageSpacing: o.averageSpacing,
+      extractors: extractors.length > 1 ? extractors : undefined,
     };
     this.emit("log", "Computing keypoints...");
     const id = await FROG.startJob("deformable", params);

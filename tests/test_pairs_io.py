@@ -94,3 +94,54 @@ def test_keypoints_top_by_response():
     top = kp.top_by_response(10)
     assert len(top) == 10
     assert top.response.min() >= np.sort(kp.response)[-10]
+
+
+def test_merge_pairs(tmp_path):
+    """mergePairs (js/lib/FROG.js:162-171): union of two graphs over the
+    same volumes, second graph's indices offset past the first's points."""
+    from frog_tpu.io.pairs import merge_pairs
+
+    a = make_graph(seed=1)
+    b = make_graph(seed=2)
+    m = merge_pairs(a, b)
+    assert m.n_images == a.n_images
+    for i in range(m.n_images):
+        assert m.images[i].xyz.shape[0] == (
+            a.images[i].xyz.shape[0] + b.images[i].xyz.shape[0]
+        )
+        np.testing.assert_array_equal(
+            m.images[i].xyz[: a.images[i].xyz.shape[0]], a.images[i].xyz
+        )
+    assert m.n_matches == a.n_matches + b.n_matches
+    # a's matches index into a's block, b's into the offset block
+    for (i, j), mm in b.matches.items():
+        merged = m.matches[(i, j)]
+        tail = merged[-mm.shape[0]:]
+        np.testing.assert_array_equal(
+            tail,
+            mm + np.asarray([[a.images[i].xyz.shape[0],
+                              a.images[j].xyz.shape[0]]]),
+        )
+    # merged matched positions are the same physical points
+    for (i, j), mm in m.matches.items():
+        pa = m.images[i].xyz[mm[:, 0]]
+        assert np.isfinite(pa).all()
+    # survives the binary round trip
+    from frog_tpu.io.pairs import read_pairs, write_pairs
+    f = str(tmp_path / "merged.bin")
+    write_pairs(f, m)
+    g = read_pairs(f)
+    assert g.n_matches == m.n_matches
+
+
+def test_cli_merge(tmp_path):
+    from frog_tpu.cli import main
+    from frog_tpu.io.pairs import read_pairs, write_pairs
+
+    a, b = make_graph(seed=3), make_graph(seed=4)
+    fa, fb = str(tmp_path / "a.bin"), str(tmp_path / "b.bin")
+    out = str(tmp_path / "m.bin")
+    write_pairs(fa, a)
+    write_pairs(fb, b)
+    assert main(["merge", out, fa, fb]) == 0
+    assert read_pairs(out).n_matches == a.n_matches + b.n_matches

@@ -236,3 +236,39 @@ def test_rigid_and_stochastic_jobs(server):
     events, last = _follow(base, body["id"])
     assert last["type"] == "done", last
     assert len(last["result"]["positions"]) == 9
+
+
+def test_deformable_dual_extractor_merges(server):
+    """useSURF + useRAW: two extract->match rounds whose graphs merge
+    (FROG.js:62-171 + the mergePairs action)."""
+    base, fs, shifts = server
+    status, body = _post_json(
+        base + "/api/jobs",
+        {
+            "kind": "deformable",
+            "params": {
+                "numberOfPoints": 150,
+                "spacing": 1.0,
+                "linearIterations": 10,
+                "deformableLevels": 0,
+                "useSURF": True,
+                "useRAW": True,
+                "RAWParams": {"numberOfPoints": 100},
+            },
+        },
+    )
+    assert status == 201
+    events, last = _follow(base, body["id"])
+    assert last["type"] == "done", last
+    job_dir = os.path.join(fs.work, body["id"])
+    # per-extractor rounds + the merged graph on disk
+    assert os.path.isdir(os.path.join(job_dir, "ext0"))
+    assert os.path.isdir(os.path.join(job_dir, "ext1"))
+    from frog_tpu.io.pairs import read_pairs
+    merged = read_pairs(os.path.join(job_dir, "pairs.bin"))
+    g0 = read_pairs(os.path.join(job_dir, "ext0", "pairs.bin"))
+    g1 = read_pairs(os.path.join(job_dir, "ext1", "pairs.bin"))
+    assert merged.n_matches == g0.n_matches + g1.n_matches
+    assert merged.n_matches > g1.n_matches > 0
+    result = last["result"]
+    assert result["measures"][-1] < result["measures"][0]
