@@ -138,6 +138,10 @@ def run_tpu(volumes):
         deformable_levels=LEVELS,
         deformable_iterations=DEFORM_ITERS,
         initial_grid_size=GRID_SIZE,
+        # the reference's EM always subsamples to a 10k buffer
+        # (stats.cxx:10, stats.h:36-76); match its default workload
+        # instead of running full-sample EM (strictly more work)
+        em_max_samples=10000,
         verbose=False,
     )
     t0 = time.time()

@@ -439,9 +439,28 @@ def em_reestimate(
     probability cap / nLinks_i in link order until the buffer is full.
     ``step`` (the global iteration index) seeds the per-event draw.
     """
+    n, p, _ = xyz2.shape
+    k = arrays.link_dst.shape[2]
+    if stride > 1 and not reservoir_cap:
+        # Gather ONLY the strided subsample: the stride is static, so the
+        # link table slices BEFORE the destination fetch — ~stride x fewer
+        # gather tiles than computing every distance and discarding most.
+        # Same split-bf16 table and flat-stride positions as the full
+        # path, so the sampled distances are bit-identical to it.
+        dst = arrays.link_dst.reshape(n, p * k)[:, ::stride]
+        valid = arrays.link_valid.reshape(n, p * k)[:, ::stride]
+        src = jnp.arange(0, p * k, stride, dtype=jnp.int32) // k
+        pA = xyz2[:, src]  # (N, S, 3) f32 source positions
+        hi, lo = _split_bf16(xyz2.reshape(n * p, 3))
+        g2 = jnp.concatenate([hi, lo], axis=-1)[dst]
+        pB = g2[..., :3].astype(jnp.float32) + g2[..., 3:].astype(jnp.float32)
+        d = pB - pA
+        dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        return estimate_mixture(
+            dist, valid, em, max_iterations=max_iterations, epsilon=epsilon
+        )
     a = _dc.replace(arrays, xyz2=xyz2)
     _, _, dist = link_geometry(a)
-    n = dist.shape[0]
     dist = dist.reshape(n, -1)
     valid = arrays.link_valid.reshape(n, -1)
     if reservoir_cap:
@@ -455,9 +474,6 @@ def em_reestimate(
         accept = valid & (u <= p_accept)
         accept = accept & (jnp.cumsum(accept, axis=1) <= reservoir_cap)
         valid = accept
-    elif stride > 1:
-        dist = dist[:, ::stride]
-        valid = valid[:, ::stride]
     return estimate_mixture(
         dist, valid, em, max_iterations=max_iterations, epsilon=epsilon
     )

@@ -104,3 +104,43 @@ def test_separable_scatter_matches_dense():
                             ww = w[i, q, 0, a] * w[i, q, 1, b] * w[i, q, 2, c]
                             want[i, x, y, z] += ww * np.asarray(vals)[i, q]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_em_strided_sliced_gather_matches_full_slice():
+    """The stride>1 EM fast path (slice the link table BEFORE the
+    destination gather) is bit-identical to gathering every link distance
+    and slicing afterwards — same split-bf16 table, same element order."""
+    import dataclasses
+
+    from frog_tpu.registration.state import GroupArrays
+    from frog_tpu.registration.stats import estimate_mixture
+
+    rng = np.random.default_rng(7)
+    n, p, k = 3, 64, 6
+    xyz2 = rng.uniform(0, 80, (n, p, 3)).astype(np.float32)
+    link_dst = rng.integers(0, n * p, (n, p, k)).astype(np.int32)
+    link_valid = rng.random((n, p, k)) < 0.7
+    em0 = jnp.tile(jnp.asarray([[3.0, 40.0, 0.5]], jnp.float32), (n, 1))
+    arrays = GroupArrays(
+        xyz=jnp.asarray(xyz2),
+        xyz2=jnp.asarray(xyz2),
+        point_valid=jnp.ones((n, p), bool),
+        link_dst=jnp.asarray(link_dst),
+        link_valid=jnp.asarray(link_valid),
+        hard_dst=jnp.zeros((n, p, 4), jnp.int32),
+        hard_valid=jnp.zeros((n, p, 4), bool),
+        em=em0,
+        affine=jnp.tile(np.eye(4, dtype=np.float32), (n, 1, 1)),
+    )
+    for stride in (3, 17):
+        fast = kernels.em_reestimate(
+            arrays, arrays.xyz2, em0, 50, 1e-6, stride
+        )
+        # reference formulation: full gather, then slice
+        _, _, dist = kernels.link_geometry(arrays)
+        dist = dist.reshape(n, -1)[:, ::stride]
+        valid = np.asarray(arrays.link_valid).reshape(n, -1)[:, ::stride]
+        slow = estimate_mixture(
+            dist, jnp.asarray(valid), em0, max_iterations=50, epsilon=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
