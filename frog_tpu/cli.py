@@ -111,7 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
     re.add_argument("-emi", dest="em_iterations", type=int, default=10000)
     re.add_argument("-si", dest="stat_interval", type=int, default=10)
     re.add_argument("-se", dest="em_epsilon", type=float, default=1e-6)
-    re.add_argument("-ss", dest="em_max_samples", type=int, default=None)
+    re.add_argument("-ss", dest="em_max_samples", type=int, default=10000,
+                    help="stats maximal sample size (frog.cxx:40, default"
+                         " 10000 as the reference); 0 = full-sample EM")
     re.add_argument("-ssm", dest="em_sampling", default="stride",
                     choices=["stride", "reservoir"],
                     help="EM subsampling mode: deterministic stride or the"
@@ -387,7 +389,7 @@ def main(argv=None):
             em_max_iterations=args.em_iterations,
             stat_interval=args.stat_interval,
             em_epsilon=args.em_epsilon,
-            em_max_samples=args.em_max_samples,
+            em_max_samples=args.em_max_samples or None,
             em_sampling=args.em_sampling,
             display_linear=bool(args.dlinear),
             display_stats=bool(args.dstats),

@@ -54,7 +54,10 @@ class GroupConfig:
     ransac_max_scale: float = 10.0
     em_max_iterations: int = 10000
     em_epsilon: float = 1e-6
-    em_max_samples: int | None = None
+    # Per-image EM sample cap: the reference's Stats::maxSize defaults to
+    # 10000 (stats.cxx:10, -ss frog.cxx:40); None = full-sample EM (no
+    # reference equivalent — strictly more statistics work).
+    em_max_samples: int | None = 10000
     max_grids_per_level: int = 50
     checkpoint_path: str | None = None
     checkpoint_interval: int = 1  # in completed chunks
