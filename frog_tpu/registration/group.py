@@ -81,6 +81,9 @@ class GroupConfig:
     # deterministic) or "reservoir" (reproduces the reference's random
     # acceptance sampling, stats.h:36-76)
     em_sampling: str = "stride"
+    # Force the link-table row width (state.py virtual rows); None picks
+    # the gather-tile-minimizing width automatically.
+    links_per_row: int | None = None
     # Static device-histogram width (bin = 1 unit, stats.cxx:121-131);
     # distances beyond the last bin clip into it, the host trims trailing
     # zero columns so the CSV output matches the reference's dynamic width.
@@ -114,6 +117,7 @@ class GroupRegistration:
             n_fixed=self.config.n_fixed,
             landmarks=landmarks,
             constraint_landmarks=constraint_landmarks,
+            links_per_row=self.config.links_per_row,
         )
         self.n_real = self.arrays.n_images
         if mesh is not None:

@@ -97,10 +97,14 @@ def save_pairs_csv(reg, path):
     )
     p = reg.arrays.points_per_image
     k = reg.arrays.links_per_point
-    # source point of flattened table slot l is l // K
-    src = np.broadcast_to(
-        np.repeat(np.arange(p), k)[None], (reg.arrays.n_images, p * k)
+    # source point of flattened table slot l is row_src[l // K] (virtual
+    # rows carry surplus links of high-degree points, state.py docstring)
+    row_src = (
+        reg.meta.row_src
+        if getattr(reg.meta, "row_src", None) is not None
+        else np.tile(np.arange(p, dtype=np.int32), (reg.arrays.n_images, 1))
     )
+    src = np.repeat(row_src, k, axis=1)
     dst = np.asarray(reg.arrays.link_dst).reshape(reg.arrays.n_images, -1)
     rows = []
     for i in range(reg.arrays.n_images):

@@ -16,6 +16,20 @@ arrays so every kernel is a fixed-shape vectorized op:
   only remaining gather is the destination-position lookup.  (Profiled on
   the TPU: this layout runs the link pass ~3x faster than a sorted-CSR +
   cumsum segment sum.)
+* **virtual rows**: the link-count distribution has a long tail (measured
+  at reference scale: median 18, p99 22, max 39 links/point), and a TPU
+  gather fetches one full tile per index whether or not the slot is valid
+  — so padding every point's row to the global max wastes most of the
+  dominant per-iteration HBM traffic.  Instead K is chosen near the knee
+  of the distribution and a high-degree point's surplus links spill into
+  extra rows that DUPLICATE its coordinates.  Because every per-point
+  quantity the optimizer derives is either a per-link sum (E, EM, census)
+  or flows through position-determined weights (the B-spline basis row of
+  a duplicate position is identical, so its grid scatter lands in the same
+  cells; an affine transforms duplicates identically), virtual rows are
+  algebraically equivalent to wider rows — no kernel changes, ~2x fewer
+  gather tiles at reference scale.  ``GroupMeta.row_src`` maps rows back
+  to true point indices for outputs that report source point ids.
 * hard (landmark-constraint) links with the same layout, (N, P, KH)
 * ``em``             (N, 3)     chi-mixture parameters (c1, c2, ratio)
 * ``affine``         (N, 4, 4)  linear stage transform
@@ -87,6 +101,11 @@ class GroupMeta:
     xyz_host: np.ndarray | None = None  # (N, P, 3) f32
     point_valid_host: np.ndarray | None = None  # (N, P) bool
     has_constraints: bool = False  # any hard (-lc) links present
+    # (N, P) i32: true point index of each row (virtual rows map to the
+    # point whose surplus links they carry; real/padding rows map to
+    # themselves).  Outputs that report SOURCE point ids (pairs.csv.gz)
+    # translate through this; kernels never need it.
+    row_src: np.ndarray | None = None
 
 
 def _pack_table(per_image_links: list, n: int, p_pad: int, k_multiple: int = 8):
@@ -116,6 +135,7 @@ def build_group_state(
     landmarks: dict | None = None,
     constraint_landmarks: dict | None = None,
     pad_multiple: int = 128,
+    links_per_row: int | None = None,
 ) -> tuple[GroupArrays, GroupMeta]:
     """Build padded device arrays from a match graph.
 
@@ -125,6 +145,9 @@ def build_group_state(
     additionally produce hard links between every same-name pair
     (the -lc path, :1208-1225); plain ``landmarks`` (-l) are evaluation
     only.
+
+    ``links_per_row`` forces the K-table row width (surplus links spill
+    into virtual rows); None picks the tile-count-minimizing width.
     """
     n = graph.n_images
     pts = [np.asarray(img.xyz, np.float32) for img in graph.images]
@@ -156,50 +179,112 @@ def build_group_state(
 
     n_points = np.array([p.shape[0] for p in pts], dtype=np.int64)
     n_keypoints = np.array([img.xyz.shape[0] for img in graph.images], dtype=np.int64)
-    p_pad = _round_up(max(int(n_points.max()), 1), pad_multiple)
 
-    xyz = np.zeros((n, p_pad, 3), np.float32)
-    point_valid = np.zeros((n, p_pad), bool)
-    for i, p in enumerate(pts):
-        xyz[i, : p.shape[0]] = p
-        point_valid[i, : p.shape[0]] = True
-
-    # Half-links packed into the per-point K-table (vectorized: counts via
-    # bincount, slot index via a stable per-source running count).
+    # Per-image half-link lists (src point, dst image, dst point), sorted
+    # by source with a per-source slot rank (vectorized).
     half_src: list = [[] for _ in range(n)]
-    half_dst: list = [[] for _ in range(n)]
+    half_di: list = [[] for _ in range(n)]
+    half_dp: list = [[] for _ in range(n)]
     for (i, j), m in graph.matches.items():
         if m.shape[0] == 0:
             continue
         half_src[i].append(m[:, 0])
-        half_dst[i].append(j * p_pad + m[:, 1])
+        half_di[i].append(np.full(m.shape[0], j, np.int64))
+        half_dp[i].append(m[:, 1])
         half_src[j].append(m[:, 1])
-        half_dst[j].append(i * p_pad + m[:, 0])
+        half_di[j].append(np.full(m.shape[0], i, np.int64))
+        half_dp[j].append(m[:, 0])
 
     k_max = 1
     packed = []
+    counts = [None] * n
     for i in range(n):
         if half_src[i]:
             src = np.concatenate(half_src[i]).astype(np.int64)
-            dstf = np.concatenate(half_dst[i]).astype(np.int64)
+            di = np.concatenate(half_di[i]).astype(np.int64)
+            dp = np.concatenate(half_dp[i]).astype(np.int64)
             order = np.argsort(src, kind="stable")
-            src, dstf = src[order], dstf[order]
+            src, di, dp = src[order], di[order], dp[order]
             # slot within the point's row = rank among equal srcs
             slot = np.arange(src.shape[0]) - np.searchsorted(src, src, side="left")
-            packed.append((src, dstf, slot))
+            packed.append((src, di, dp, slot))
             if src.shape[0]:
                 k_max = max(k_max, int(slot.max()) + 1)
+                counts[i] = np.bincount(src, minlength=int(n_points[i]))
         else:
             packed.append(None)
-    k_pad = _round_up(k_max, 8)
+        if counts[i] is None:
+            counts[i] = np.zeros(int(n_points[i]), np.int64)
+
+    # Choose the row width K: a TPU gather fetches one full tile per index
+    # whether or not the slot is valid, so the per-iteration link pass
+    # costs P_pad * K tiles.  Surplus links of points with more than K
+    # links spill into VIRTUAL ROWS duplicating the point's coordinates
+    # (see module docstring) — pick the K minimizing the tile count, with
+    # a cap on row growth (coordinate/basis arrays scale with P_pad).
+    def layout(k1):
+        rows = [
+            int(n_points[i] + np.maximum(-(-counts[i] // k1) - 1, 0).sum())
+            for i in range(n)
+        ]
+        p = _round_up(max(max(rows), 1), pad_multiple)
+        return p, rows
+
+    if links_per_row is not None:
+        k_pad = max(int(links_per_row), 1)
+        p_pad, _ = layout(k_pad)
+    else:
+        k_full = _round_up(k_max, 8)
+        p_full, _ = layout(k_full)  # no surplus at k_full >= k_max
+
+        # Per-iteration HBM model in gather-tile units: one tile per table
+        # slot, plus ~2 tile-equivalents per ROW for the row-proportional
+        # work (separable-basis matmul reads, coordinate/weight passes) —
+        # splitting must not win the gather while losing the basis.
+        def cost(p, k):
+            return p * (k + 2)
+
+        k_pad, p_pad = k_full, p_full
+        best = cost(p_full, k_full)
+        for cand in range(4, k_full, 4):
+            p_c, _ = layout(cand)
+            if p_c > 1.5 * p_full:
+                continue
+            if cost(p_c, cand) < best:
+                best, k_pad, p_pad = cost(p_c, cand), cand, p_c
+        if best > 0.9 * cost(p_full, k_full):  # not worth a layout change
+            k_pad, p_pad = k_full, p_full
+
+    xyz = np.zeros((n, p_pad, 3), np.float32)
+    point_valid = np.zeros((n, p_pad), bool)
+    row_src = np.tile(np.arange(p_pad, dtype=np.int32), (n, 1))
+    for i, p in enumerate(pts):
+        xyz[i, : p.shape[0]] = p
+        point_valid[i, : p.shape[0]] = True
+
     link_dst = np.zeros((n, p_pad, k_pad), np.int32)
     link_valid = np.zeros((n, p_pad, k_pad), bool)
     for i, entry in enumerate(packed):
         if entry is None:
             continue
-        src, dstf, slot = entry
-        link_dst[i, src, slot] = dstf
-        link_valid[i, src, slot] = True
+        src, di, dp, slot = entry
+        dstf = di * p_pad + dp
+        block = slot // k_pad
+        # virtual-row start offsets: exclusive cumsum of each point's
+        # surplus row count, appended after the image's true points
+        extra = np.maximum(-(-counts[i] // k_pad) - 1, 0)
+        starts = int(n_points[i]) + np.concatenate(
+            [[0], np.cumsum(extra)[:-1]]
+        ).astype(np.int64)
+        row = np.where(block == 0, src, starts[src] + block - 1)
+        link_dst[i, row, slot % k_pad] = dstf
+        link_valid[i, row, slot % k_pad] = True
+        vrows = row[block > 0]
+        if vrows.size:
+            vsrc = src[block > 0]
+            xyz[i, vrows] = xyz[i, vsrc]
+            point_valid[i, vrows] = True
+            row_src[i, vrows] = vsrc.astype(np.int32)
 
     hard_dst, hard_valid = _pack_table(
         [[(s, di * p_pad + dp) for (s, di, dp) in h] for h in hard_links],
@@ -232,6 +317,7 @@ def build_group_state(
         xyz_host=xyz,
         point_valid_host=point_valid,
         has_constraints=any(len(h) for h in hard_links),
+        row_src=row_src,
     )
     return arrays, meta
 

@@ -144,3 +144,70 @@ def test_em_strided_sliced_gather_matches_full_slice():
             dist, jnp.asarray(valid), em0, max_iterations=50, epsilon=1e-6
         )
         np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_virtual_row_split_matches_wide_rows():
+    """A forced-narrow link table (surplus links in virtual rows that
+    duplicate the point's coordinates) reproduces the wide-row layout:
+    identical optimizer trajectories up to f32 summation order, identical
+    link sets, identical per-image link counts."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synthetic import make_synthetic_group
+
+    from frog_tpu.registration import GroupConfig, GroupRegistration
+    from frog_tpu.registration.state import build_group_state
+
+    graph, _ = make_synthetic_group(
+        seed=11, n_images=4, n_points=250, extent=200.0, warp_amp=5.0,
+        noise=0.5, outlier_fraction=0.1, match_fraction=0.9,
+    )
+
+    wide, meta_w = build_group_state(graph, links_per_row=64)
+    narrow, meta_n = build_group_state(graph, links_per_row=4)
+    assert narrow.link_dst.shape[2] == 4
+    assert narrow.xyz.shape[1] > meta_n.n_points.max()  # virtual rows exist
+    # identical half-link multisets per image: (true src, dst img, dst pt)
+    for i in range(4):
+        def linkset(arrays, meta, i):
+            p = arrays.xyz.shape[1]
+            dst = np.asarray(arrays.link_dst[i]).reshape(-1)
+            valid = np.asarray(arrays.link_valid[i]).reshape(-1)
+            k = arrays.link_dst.shape[2]
+            src = np.repeat(np.asarray(meta.row_src[i]), k)
+            return sorted(
+                (int(s), int(d // p), int(d % p))
+                for s, d, v in zip(src, dst, valid) if v
+            )
+        assert linkset(wide, meta_w, i) == linkset(narrow, meta_n, i)
+        # virtual rows duplicate their source point's coordinates
+        rs = np.asarray(meta_n.row_src[i])
+        vmask = rs != np.arange(rs.shape[0])
+        np.testing.assert_array_equal(
+            np.asarray(narrow.xyz[i])[vmask], np.asarray(narrow.xyz[i])[rs[vmask]]
+        )
+
+    def run(links_per_row):
+        cfg = GroupConfig(
+            linear_iterations=8, deformable_levels=1,
+            deformable_iterations=10, initial_grid_size=80.0,
+            guarantee_diffeomorphism=False, verbose=False,
+            links_per_row=links_per_row,
+            # full-sample EM: the stride subsample's element order is
+            # layout-dependent, which would mask layout equivalence
+            em_max_samples=None,
+        )
+        reg = GroupRegistration(graph, cfg)
+        reg.run()
+        return np.asarray([m.E for m in reg.measures]), reg
+
+    es_wide, reg_w = run(64)
+    es_narrow, reg_n = run(4)
+    np.testing.assert_allclose(es_narrow, es_wide, rtol=2e-4)
+    for cw, cn in zip(reg_w.chains, reg_n.chains):
+        np.testing.assert_allclose(
+            np.asarray(cn.transforms[-1].coeffs),
+            np.asarray(cw.transforms[-1].coeffs),
+            atol=5e-3,
+        )
