@@ -7,13 +7,18 @@ Covers the surf3d CLI preprocessing options (-s spacing, -cmin/-cmax,
 """
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ...io.volume import Volume
 
-__all__ = ["resample_isotropic", "trilinear_sample", "mirror_pad", "clamp"]
+__all__ = [
+    "resample_isotropic", "trilinear_sample", "mirror_pad", "clamp",
+    "StagedVolume", "stage_volume",
+]
 
 
 def trilinear_sample(data: jax.Array, coords: jax.Array) -> jax.Array:
@@ -108,22 +113,58 @@ def _reflect(u: np.ndarray, n_in: int) -> np.ndarray:
     return (n_in - 1) - np.abs(np.mod(u, period) - (n_in - 1))
 
 
-def resample_to_device(vol: Volume, spacing: float, bucket_multiple: int = 64,
+@dataclasses.dataclass
+class StagedVolume:
+    """A volume whose wire-dtype payload is already (asynchronously) on
+    device, plus the host-side geometry needed to resample it.
+
+    Produced by :func:`stage_volume` — typically on an IO worker thread so
+    the host->device transfer and the f16 wire cast overlap the PREVIOUS
+    volume's device compute (double buffering; the transfer tunnel and the
+    compute units are independent resources)."""
+
+    wire: jax.Array  # device array on the ORIGINAL grid, wire dtype
+    origin: np.ndarray
+    spacing: np.ndarray
+    shape: tuple
+    bounds: tuple  # (lo, hi) physical corners
+
+
+def stage_volume(vol: Volume, transfer_dtype=np.float32) -> StagedVolume:
+    """Host wire prep + device upload of a volume, decoupled from the
+    resample kernel so callers can prefetch volume k+1 while volume k
+    computes.  ``transfer_dtype`` float16 halves the host->device
+    transfer at ~5e-4 relative intensity error; int8/int16 volumes (CT)
+    always ship losslessly as-is."""
+    src = np.asarray(vol.data)
+    if np.issubdtype(src.dtype, np.integer) and src.dtype.itemsize <= 2:
+        wire = src  # int8/int16 ship as-is (lossless, already narrow)
+    elif np.dtype(transfer_dtype) == np.float16:
+        wire = np.clip(src, -65504.0, 65504.0).astype(np.float16)
+    else:
+        wire = np.ascontiguousarray(src, np.dtype(transfer_dtype))
+    return StagedVolume(
+        wire=jax.device_put(wire),
+        origin=np.asarray(vol.origin, np.float64).copy(),
+        spacing=np.asarray(vol.spacing, np.float64).copy(),
+        shape=src.shape,
+        bounds=vol.bounds,
+    )
+
+
+def resample_to_device(vol, spacing: float, bucket_multiple: int = 64,
                        transfer_dtype=np.float32):
     """Resample to isotropic ``spacing`` directly ON DEVICE, bucket-padded
     to ``bucket_multiple`` with mirror-reflected content.
 
+    ``vol`` is a Volume or an already-uploaded :class:`StagedVolume`.
     Returns (device array (bucketed dims), true extent (3,) ints, origin).
     The whole path is one upload + one jitted kernel whose compilation
     depends only on the in/out shapes — no per-volume-geometry recompile,
     no device->host volume readback.
-
-    ``transfer_dtype`` is the WIRE dtype of the volume upload (the kernel
-    computes in f32 regardless): float16 halves the host->device transfer
-    — the dominant per-volume cost on a remote-attached chip — at ~5e-4
-    relative intensity error.  Integer volumes (CT) pass losslessly as
-    int16.
     """
+    if not isinstance(vol, StagedVolume):
+        vol = stage_volume(vol, transfer_dtype)
     lo, hi = vol.bounds
     extent = np.maximum(np.floor((hi - lo) / spacing).astype(int) + 1, 1)
     bucket = np.maximum(((extent + bucket_multiple - 1) // bucket_multiple)
@@ -133,20 +174,13 @@ def resample_to_device(vol: Volume, spacing: float, bucket_multiple: int = 64,
         u = (lo[axis] + spacing * np.arange(bucket[axis]) - vol.origin[axis]) / (
             vol.spacing[axis]
         )
-        n_in = vol.data.shape[axis]
+        n_in = vol.shape[axis]
         u = _reflect(u, n_in)
         i0 = np.clip(np.floor(u).astype(np.int32), 0, max(n_in - 2, 0))
         idx.append(jnp.asarray(i0))
         frac.append(jnp.asarray(np.clip(u - i0, 0.0, 1.0).astype(np.float32)))
-    src = np.asarray(vol.data)
-    if np.issubdtype(src.dtype, np.integer) and src.dtype.itemsize <= 2:
-        wire = src  # int8/int16 ship as-is (lossless, already narrow)
-    elif np.dtype(transfer_dtype) == np.float16:
-        wire = np.clip(src, -65504.0, 65504.0).astype(np.float16)
-    else:
-        wire = np.ascontiguousarray(src, np.dtype(transfer_dtype))
     data = _resample_kernel(
-        jnp.asarray(wire),
+        vol.wire,
         idx[0], frac[0], idx[1], frac[1], idx[2], frac[2],
     )
     return data, extent, lo

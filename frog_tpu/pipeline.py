@@ -153,14 +153,22 @@ def extract_stage(
 
     reads = {}
 
+    from .ops.surf3d.extract import (
+        extract_keypoints_async,
+        finalize_keypoints,
+        stage_for_extract,
+    )
+
     def _read(i, f):
+        # read + clamp/pad + wire cast + device upload, all on this worker
+        # thread: volume k+1's host prep (~0.2 s CPU for the f16 cast) and
+        # tunnel transfer overlap volume k's detect/describe device time
         vol = read_volume(f)
+        staged = stage_for_extract(vol, surf)
         mask = None
         if masks and i < len(masks) and masks[i]:
             mask = read_volume(masks[i])
-        return vol, mask
-
-    from .ops.surf3d.extract import extract_keypoints_async, finalize_keypoints
+        return staged, mask
 
     pending_write = None
     pending = None  # (device results, out path, name, t_start)
