@@ -19,10 +19,16 @@ value        = end-to-end WARM TPU seconds (extract + match + register,
 vs_baseline  = cpu_seconds / tpu_seconds from the reference-equivalent
                C++ implementations (native/baseline_*, same algorithms,
                OpenMP over this machine's cores; extraction and matching
-               measured on subsets and scaled, the optimizer extrapolated
-               from short runs at each level's true grid dims)
+               are medians of 3 interleaved subset measurements with the
+               spread reported, the optimizer a FULL measured run of the
+               whole 50 + levels x 200 schedule)
 
-Sub-metrics and quality gates (E decrease, inlier census) go to stderr.
+Sub-metrics and quality gates go to stderr, including ground-truth
+accuracy: the synthetic fixture's warps are known, so the bench samples
+GT correspondence sets and reports mean/max TRE (the paper's landmark
+metric, imageGroup.cxx:1229-1282) after linear and after deformable for
+BOTH the TPU pipeline and the C++ baseline, plus an E-trajectory parity
+check between the two optimizers at reference scale.
 """
 import json
 import os
@@ -76,16 +82,17 @@ def build_volumes():
     from tests.synthetic import make_synthetic_volumes
 
     t0 = time.time()
-    files = make_synthetic_volumes(
+    files, truths = make_synthetic_volumes(
         os.path.join(WORKDIR, f"volumes_{N_IMAGES}x{SHAPE}"),
         n_images=N_IMAGES,
         shape=(SHAPE,) * 3,
         spacing=SPACING,
         seed=17,
+        return_truth=True,
     )
     log(f"fixture: {N_IMAGES} volumes ({SHAPE}^3 @ {SPACING} mm)"
         f" in {time.time() - t0:.1f}s (cached across runs)")
-    return files
+    return files, truths
 
 
 # --------------------------------------------------------------------- TPU
@@ -168,12 +175,30 @@ def run_tpu(volumes):
         "register": t_reg_cold,
     }
     warm = {"extract": t_extract, "match": t_match, "register": t_reg}
-    return graph, kp_files, warm, cold
+    return graph, kp_files, warm, cold, reg
+
+
+def tre_tpu(reg, probes):
+    """Apply the warm run's final transform chains to the GT probes:
+    returns (after_linear, final) stacks shaped like ``probes``."""
+    import jax.numpy as jnp
+
+    lin, fin = [], []
+    for i in range(probes.shape[0]):
+        chain = reg.chains[i]
+        p = jnp.asarray(probes[i])
+        lin.append(np.asarray(chain.transforms[0](p)))
+        fin.append(np.asarray(chain(p)))
+    return np.stack(lin), np.stack(fin)
 
 
 # --------------------------------------------------------------------- CPU
 
-def cpu_extract(volumes):
+def _spread(vals):
+    return (max(vals) - min(vals)) / 2.0
+
+
+def cpu_extract_once(volumes):
     from frog_tpu.io.mhd import read_volume
 
     total = 0.0
@@ -190,23 +215,20 @@ def cpu_extract(volumes):
             capture_output=True, text=True, check=True,
         )
         total += json.loads(out.stdout)["total_s"]
-    per_vol = total / CPP_EXTRACTS
-    t = per_vol * N_IMAGES
-    log(f"CPU extract: {per_vol:.1f}s/volume x {N_IMAGES} = {t:.1f}s"
-        f" (measured on {CPP_EXTRACTS})")
-    return t
+    return total / CPP_EXTRACTS * N_IMAGES
 
 
-def cpu_match(kp_files):
+def cpu_match_once(kp_files):
     from frog_tpu.io.keypoints import read_keypoints
 
-    kps = [read_keypoints(f) for f in kp_files[: CPP_PAIRS + 1]]
-    p = min(len(k) for k in kps)
     match_file = os.path.join(WORKDIR, "cpp_desc.bin")
-    with open(match_file, "wb") as f:
-        np.asarray([len(kps), p, 48], np.int32).tofile(f)
-        for kp in kps:
-            kp.to_matrix()[:p].astype(np.float32).tofile(f)
+    if not os.path.exists(match_file):
+        kps = [read_keypoints(f) for f in kp_files[: CPP_PAIRS + 1]]
+        p = min(len(k) for k in kps)
+        with open(match_file, "wb") as f:
+            np.asarray([len(kps), p, 48], np.int32).tofile(f)
+            for kp in kps:
+                kp.to_matrix()[:p].astype(np.float32).tofile(f)
     out = subprocess.run(
         [os.path.join(ROOT, "native", "baseline_match"), match_file,
          str(CPP_PAIRS), str(MAX_DISTANCE), str(SECOND_RATIO)],
@@ -214,18 +236,13 @@ def cpu_match(kp_files):
     )
     m = json.loads(out.stdout)
     n_pairs = N_IMAGES * (N_IMAGES - 1) // 2
-    t = m["secsPerPair"] * n_pairs
-    log(f"CPU match: {m['secsPerPair']:.2f}s/pair x {n_pairs} = {t:.1f}s"
-        f" ({m['threads']} threads)")
-    return t
+    return m["secsPerPair"] * n_pairs
 
 
-def cpu_register(pairs_file):
-    """Extrapolate per-iteration cost from short runs: the baseline runs
-    CPP_LIN_ITERS linear and CPP_DEF_ITERS deformable iterations per
-    level at the TRUE level grid dims (3-level schedule), scaled to the
-    full 50 + 3x200 iteration counts.  EM cost scales with its every-10
-    cadence."""
+def cpu_register_extrapolated(pairs_file):
+    """Per-iteration cost from a short run at the TRUE level grid dims,
+    scaled to the full 50 + levels x 200 schedule (cross-check for the
+    full measured run; EM cost scales with its every-10 cadence)."""
     bin_path = os.path.join(ROOT, "native", "baseline_frog")
     out = subprocess.run(
         [bin_path, pairs_file, str(CPP_LIN_ITERS), str(CPP_DEF_ITERS),
@@ -235,30 +252,128 @@ def cpu_register(pairs_file):
     r = json.loads(out.stdout)
     lin_per = r["linear_s"] / max(r["linear_iters"], 1)
     def_per = r["deform_s"] / max(r["deform_iters"], 1)
-    # stats fired ceil(iters/10) times per stage in the short run
     n_em_short = -(-CPP_LIN_ITERS // 10) + LEVELS * -(-CPP_DEF_ITERS // 10)
     n_em_full = -(-LINEAR_ITERS // 10) + LEVELS * -(-DEFORM_ITERS // 10)
     em_per = r["stats_s"] / max(n_em_short, 1)
-    t = (lin_per * LINEAR_ITERS + def_per * LEVELS * DEFORM_ITERS
-         + em_per * n_em_full)
-    log(f"CPU register: {lin_per * 1e3:.0f} ms/linear-iter,"
-        f" {def_per * 1e3:.0f} ms/deformable-iter, {em_per * 1e3:.0f} ms/EM"
-        f" -> {t:.1f}s extrapolated ({r['threads']} threads,"
-        f" measured {CPP_LIN_ITERS}+{LEVELS}x{CPP_DEF_ITERS} iters)")
-    return t
+    return (lin_per * LINEAR_ITERS + def_per * LEVELS * DEFORM_ITERS
+            + em_per * n_em_full)
+
+
+def cpu_register_full(pairs_file, probes):
+    """ONE full (non-extrapolated) run of the reference schedule with the
+    diffeomorphism guarantee ON — the C++ wall-clock the TPU register
+    stage is compared against — carrying the GT probes through every
+    transform and dumping the E trajectory for the parity check."""
+    bin_path = os.path.join(ROOT, "native", "baseline_frog")
+    probes_bin = os.path.join(WORKDIR, "cpp_probes.bin")
+    with open(probes_bin, "wb") as f:
+        np.asarray([probes.shape[0], probes.shape[1]], np.int32).tofile(f)
+        probes.astype(np.float32).tofile(f)
+    dump = os.path.join(WORKDIR, "cpp_full_dump.json")
+    out = subprocess.run(
+        [bin_path, pairs_file, str(LINEAR_ITERS), str(DEFORM_ITERS),
+         str(GRID_SIZE), "10000", dump, str(LEVELS), "1", "0.4", "0",
+         "0.02", probes_bin],
+        capture_output=True, text=True, check=True,
+    )
+    r = json.loads(out.stdout)
+    t = r["stats_s"] + r["linear_s"] + r["deform_s"]
+    with open(dump) as f:
+        d = json.load(f)
+    n, m = probes.shape[:2]
+    raw = np.fromfile(probes_bin + ".out", np.float32)
+    plin = raw[: n * m * 3].reshape(n, m, 3)
+    pfin = raw[n * m * 3:].reshape(n, m, 3)
+    return t, r, d, plin, pfin
+
+
+def quality_report(reg, cpp_dump, cpp_plin, cpp_pfin, probes):
+    """Ground-truth TRE for both sides + E-trajectory parity at
+    reference scale (the paper's landmark metric, automated:
+    imageGroup.cxx:1229-1282)."""
+    from tests.synthetic import tre_stats
+
+    t0m, t0x = tre_stats(probes)
+    lin, fin = tre_tpu(reg, probes)
+    tlm, tlx = tre_stats(lin)
+    tfm, tfx = tre_stats(fin)
+    clm, clx = tre_stats(cpp_plin)
+    cfm, cfx = tre_stats(cpp_pfin)
+    log(f"TRE (mean/max mm over {probes.shape[1]} GT correspondence sets):")
+    log(f"  initial        : {t0m:7.2f} / {t0x:7.2f}")
+    log(f"  TPU linear     : {tlm:7.2f} / {tlx:7.2f}   C++ linear: "
+        f"{clm:7.2f} / {clx:7.2f}")
+    log(f"  TPU deformable : {tfm:7.2f} / {tfx:7.2f}   C++ final : "
+        f"{cfm:7.2f} / {cfx:7.2f}")
+    assert tfm < 0.5 * t0m, "TPU registration must reduce GT TRE >= 2x"
+    assert abs(tfm - cfm) < 0.25 * max(cfm, 0.5), (
+        f"TPU final TRE {tfm:.2f} vs C++ {cfm:.2f} diverge"
+    )
+
+    # E-trajectory parity (f32 fused scans vs C++ double accumulation
+    # over ~10M links; guard trips may shift deformable iterations, so
+    # the strict gate is on the linear stage + the final E)
+    es_tpu = np.asarray([m.E for m in reg.measures])
+    es_cpp = np.asarray(cpp_dump["es_linear"] + cpp_dump["es_deform"])
+    n_lin = len(cpp_dump["es_linear"])
+    rel_lin = np.abs(es_tpu[:n_lin] - es_cpp[:n_lin]) / es_cpp[:n_lin]
+    k = min(len(es_tpu), len(es_cpp))
+    rel_all = np.abs(es_tpu[:k] - es_cpp[:k]) / es_cpp[:k]
+    log(f"E-trajectory parity vs C++ oracle ({k} iters): linear median rel"
+        f" {np.median(rel_lin):.2e} max {rel_lin.max():.2e};"
+        f" overall median {np.median(rel_all):.2e};"
+        f" final E tpu {es_tpu[-1]:.4f} vs cpp {es_cpp[-1]:.4f};"
+        f" grids/level tpu {reg.grids_per_level} vs cpp"
+        f" {cpp_dump['grids_per_level']}")
+    assert np.median(rel_lin) < 5e-3, "linear-stage E parity broken"
+    assert abs(es_tpu[-1] - es_cpp[-1]) / es_cpp[-1] < 0.05, (
+        "final E diverges from C++ oracle"
+    )
 
 
 def main():
     ensure_binaries()
     os.makedirs(WORKDIR, exist_ok=True)
-    volumes = build_volumes()
-    graph, kp_files, warm, cold = run_tpu(volumes)
+    volumes, truths = build_volumes()
+    graph, kp_files, warm, cold, reg = run_tpu(volumes)
 
+    from tests.synthetic import gt_correspondences
+
+    probes = gt_correspondences(truths, n_probes=100)
     pairs_file = os.path.join(WORKDIR, "tpu_out", "pairs.bin")
+
+    # interleaved subset measurements: median + spread over 3 rounds
+    ex_runs, ma_runs = [], []
+    for rep in range(3):
+        ex_runs.append(cpu_extract_once(volumes))
+        ma_runs.append(cpu_match_once(kp_files))
+    extrapolated = cpu_register_extrapolated(pairs_file)
+    n_pairs = N_IMAGES * (N_IMAGES - 1) // 2
+    log(f"CPU extract: median {np.median(ex_runs):.1f}s"
+        f" +- {_spread(ex_runs):.1f}s over 3 runs"
+        f" ({CPP_EXTRACTS} volumes scaled to {N_IMAGES})")
+    log(f"CPU match: median {np.median(ma_runs):.1f}s"
+        f" +- {_spread(ma_runs):.1f}s over 3 runs"
+        f" ({CPP_PAIRS} pairs scaled to {n_pairs})")
+
+    if os.environ.get("FROG_BENCH_CPP_FULL", "1") != "0":
+        t_full, r_full, cpp_dump, cpp_plin, cpp_pfin = cpu_register_full(
+            pairs_file, probes
+        )
+        log(f"CPU register: {t_full:.1f}s FULL measured run"
+            f" ({r_full['threads']} threads,"
+            f" {LINEAR_ITERS}+{LEVELS}x{DEFORM_ITERS} iters;"
+            f" extrapolated cross-check {extrapolated:.1f}s)")
+        quality_report(reg, cpp_dump, cpp_plin, cpp_pfin, probes)
+        t_register = t_full
+    else:
+        t_register = extrapolated
+        log(f"CPU register: {t_register:.1f}s extrapolated")
+
     cpu = {
-        "extract": cpu_extract(volumes),
-        "match": cpu_match(kp_files),
-        "register": cpu_register(pairs_file),
+        "extract": float(np.median(ex_runs)),
+        "match": float(np.median(ma_runs)),
+        "register": t_register,
     }
 
     tpu_total = sum(warm.values())

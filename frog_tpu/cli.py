@@ -65,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("-pad", type=float, default=0.0)
     ex.add_argument("-csv", action="store_true")
     ex.add_argument("-bin", action="store_true")
+    ex.add_argument("-json", action="store_true",
+                    help="write keypoints as JSON (frog.json:354)")
 
     # ---- match (match.cpp:347-431)
     ma = sub.add_parser("match", help="all-pairs matching")
@@ -336,7 +338,8 @@ def main(argv=None):
             ),
             mask=mask,
         )
-        suffix = ".bin" if args.bin else (".csv" if args.csv else ".csv.gz")
+        suffix = (".bin" if args.bin else ".json" if args.json
+                  else ".csv" if args.csv else ".csv.gz")
         out = args.output + suffix
         write_keypoints(out, kp)
         print(f"{len(kp)} keypoints -> {out}")

@@ -79,6 +79,16 @@ def read_keypoints(path, ndesc: int = 48) -> Keypoints:
         ncols = 6 + ndesc
         n = raw.size // ncols
         return Keypoints.from_matrix(raw[: n * ncols].reshape(n, ncols))
+    if p.endswith(".json"):
+        import json
+
+        with open(p) as f:
+            doc = json.load(f)
+        rows = doc["points"] if isinstance(doc, dict) else doc
+        width = 6 + ndesc
+        if not rows:
+            return Keypoints.from_matrix(np.zeros((0, width), np.float32))
+        return Keypoints.from_matrix(np.asarray(rows, np.float32))
     cols = _peek_columns(p)
     if cols and cols >= 7:
         from . import native
@@ -128,6 +138,23 @@ def write_keypoints(path, kp: Keypoints) -> None:
     p = str(path)
     if p.endswith(".bin"):
         kp.to_matrix().tofile(p)
+        return
+    if p.endswith(".json"):
+        # surf3d's -json writer option (reference option schema
+        # frog.json:354): same row layout as the CSV, wrapped in a record
+        import json
+
+        mat = kp.to_matrix()
+        with open(p, "w") as f:
+            json.dump(
+                {
+                    "nbPoints": int(mat.shape[0]),
+                    "descriptorLength": int(kp.ndesc),
+                    "points": [[round(float(v), 9) for v in row]
+                               for row in mat],
+                },
+                f,
+            )
         return
     mat = kp.to_matrix()
     from . import native

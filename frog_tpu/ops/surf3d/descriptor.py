@@ -156,39 +156,32 @@ def _haar(integral, center, size):
     return dx, dy, dz
 
 
-def _window_sum(x, axis, a, b):
-    """Running window sum: out[i] = sum_{j in [i+a, i+b]} x[j], borders
-    truncated (out-of-range j contribute zero)."""
-    c = jnp.cumsum(x, axis=axis)
-    n = x.shape[axis]
-    i_hi = jnp.clip(jnp.arange(n) + b, -1, n - 1)
-    i_lo = jnp.arange(n) + a - 1
-    hi_ok = (jnp.arange(n) + b) >= 0
-    hi = jnp.take(c, jnp.clip(i_hi, 0, n - 1), axis=axis)
-    lo = jnp.take(c, jnp.clip(i_lo, 0, n - 1), axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = n
-    hi = jnp.where(hi_ok.reshape(shape), hi, 0.0)
-    lo = jnp.where((i_lo >= 0).reshape(shape), lo, 0.0)
-    return hi - lo
-
-
 def dense_haar(volume: jax.Array, s: int):
     """Dense Haar response volumes (dx, dy, dz) at half-width ``s``:
     dx[v] = sum(box x in [v, v+s-1]) - sum(box x in [v-s, v-1]) with the
     free axes summed over [v-s, v+s-1] — exactly the per-sample
-    integral-volume Haar (see _haar), evaluated at EVERY voxel by
-    separable window sums (streaming VPU passes, no gathers)."""
+    integral-volume Haar (see _haar), evaluated at EVERY voxel as one
+    banded-matrix MXU contraction per axis (see detector.band_matrix);
+    borders truncate (out-of-range taps contribute zero).  The 8-matmul
+    shared tree replaces 9 cumsum+gather window-sum chains."""
+    from .detector import apply_band, band_matrix
 
-    def wfree(x, axis):
-        return _window_sum(x, axis, -s, s - 1)
+    n0, n1, n2 = volume.shape
 
-    def wprobe(x, axis):
-        return _window_sum(x, axis, 0, s - 1) - _window_sum(x, axis, -s, -1)
+    def WF(n):  # free axis: window [-s, s-1]
+        return band_matrix(n, [(-s, s - 1, 1)])
 
-    dx = wprobe(wfree(wfree(volume, 1), 2), 0)
-    dy = wprobe(wfree(wfree(volume, 0), 2), 1)
-    dz = wprobe(wfree(wfree(volume, 0), 1), 2)
+    def WP(n):  # probe axis: window [0, s-1] minus window [-s, -1]
+        return band_matrix(n, [(0, s - 1, 1), (-s, -1, -1)])
+
+    zf = apply_band(volume, 2, WF(n2))
+    zp = apply_band(volume, 2, WP(n2))
+    yf_zf = apply_band(zf, 1, WF(n1))
+    yp_zf = apply_band(zf, 1, WP(n1))
+    yf_zp = apply_band(zp, 1, WF(n1))
+    dx = apply_band(yf_zf, 0, WP(n0))
+    dy = apply_band(yp_zf, 0, WF(n0))
+    dz = apply_band(yf_zp, 0, WF(n0))
     return dx, dy, dz
 
 

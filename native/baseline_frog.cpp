@@ -9,7 +9,15 @@
 //
 // Usage: baseline_frog pairs.bin <linearIters> <deformIters> <gridSize>
 //                      [maxEMSamples] [dumpPath] [nLevels] [guarantee]
-//                      [maxRatio] [nFixed] [alpha]
+//                      [maxRatio] [nFixed] [alpha] [probesPath]
+//
+// probesPath: optional binary file (int32 nImages, int32 M, then
+// nImages*M*3 float32 world positions) of ground-truth probe points per
+// image.  Probes ride every transform exactly like keypoints (linear,
+// bakes, every B-spline grid) but contribute to nothing — the automated
+// analog of the reference's landmark evaluation (imageGroup.cxx:
+// 1229-1282).  Writes probesPath+".out": nImages*M*3 float32 after the
+// linear stage, then nImages*M*3 float32 after the full schedule.
 // Prints one JSON line with per-phase seconds.  With dumpPath, also writes
 // a JSON file with the per-iteration energy trajectory, final per-image
 // scale/translation, final B-spline coefficients (last grid) and the
@@ -49,6 +57,8 @@ struct HalfLink {
 struct ImageData {
     vector<float> xyz;    // 3*P current (baked) coords
     vector<float> xyz2;   // 3*P transformed coords
+    vector<float> probe;   // 3*M ground-truth probe coords (baked)
+    vector<float> probe2;  // 3*M transformed probe coords
     vector<HalfLink> links;
     // EM mixture params
     float c1 = 10.f, c2 = 300.f, ratio = 0.5f;
@@ -124,6 +134,7 @@ int main(int argc, char** argv) {
     double maxRatio = argc > 9 ? atof(argv[9]) : 0.4;
     int nFixed = argc > 10 ? atoi(argv[10]) : 0;
     float alpha0 = argc > 11 ? (float)atof(argv[11]) : 0.02f;
+    const char* probesPath = argc > 12 && argv[12][0] ? argv[12] : nullptr;
     vector<double> esLinear, esDeform;
     vector<int> gridsPerLevel;
 
@@ -160,6 +171,21 @@ int main(int argc, char** argv) {
     fclose(f);
     int n = nImages;
 
+    int nProbes = 0;
+    if (probesPath) {
+        FILE* pf = fopen(probesPath, "rb");
+        if (!pf) { perror("probes"); return 1; }
+        int32_t pn, pm; fread(&pn, 4, 1, pf); fread(&pm, 4, 1, pf);
+        if (pn != n) { fprintf(stderr, "probes: %d images != %d\n", pn, n); return 1; }
+        nProbes = pm;
+        for (int i = 0; i < n; i++) {
+            images[i].probe.resize(3 * (size_t)pm);
+            fread(images[i].probe.data(), 4, 3 * (size_t)pm, pf);
+            images[i].probe2 = images[i].probe;
+        }
+        fclose(pf);
+    }
+
     // ---- anchor-centering init (imageGroup.cxx:806-848): average the
     // anchors of the first (N - nFixed) images; only movable images get a
     // translation
@@ -189,6 +215,16 @@ int main(int argc, char** argv) {
             for (size_t p = 0; p < P; p++)
                 for (int k = 0; k < 3; k++)
                     im.xyz2[3 * p + k] = im.xyz[3 * p + k] * im.scale[k] + im.trans[k];
+            for (size_t p = 0; p < im.probe.size() / 3; p++)
+                for (int k = 0; k < 3; k++)
+                    im.probe2[3 * p + k] = im.probe[3 * p + k] * im.scale[k] + im.trans[k];
+        }
+    };
+
+    auto bakeAll = [&]() {
+        for (int i = 0; i < n; i++) {
+            images[i].xyz = images[i].xyz2;
+            images[i].probe = images[i].probe2;
         }
     };
 
@@ -255,7 +291,12 @@ int main(int argc, char** argv) {
         esLinear.push_back(sqrt(sE / std::max(sEW, 1e-30)));
     }
     // bake
-    for (int i = 0; i < n; i++) images[i].xyz = images[i].xyz2;
+    bakeAll();
+    vector<float> probesLinear;
+    if (probesPath)
+        for (int i = 0; i < n; i++)
+            probesLinear.insert(probesLinear.end(), images[i].probe.begin(),
+                                images[i].probe.end());
 
     // ---- deformable levels (imageGroup.cxx:73-142, 159-232, 234-472)
     float alpha = alpha0;
@@ -286,30 +327,34 @@ int main(int argc, char** argv) {
         grad.assign(n, vector<float>(4 * G, 0.f));
     };
 
+    auto bsplineApply = [&](const vector<float>& cf, const float* in, float* out) {
+        double F[3][4]; int base[3];
+        for (int k = 0; k < 3; k++) {
+            double u = (in[k] - origin[k]) / spacing[k];
+            int iu = (int)floor(u);
+            bsplineWeights(F[k], u - iu);
+            base[k] = iu - 1;
+        }
+        double disp[3] = {0, 0, 0};
+        for (int c = 0; c < 4; c++) for (int b = 0; b < 4; b++) for (int a = 0; a < 4; a++) {
+            int x = base[0] + a, y = base[1] + b, z = base[2] + c;
+            if (x < 0 || y < 0 || z < 0 || x >= dims[0] || y >= dims[1] || z >= dims[2]) continue;
+            size_t id = 3 * ((size_t)(z * dims[1] + y) * dims[0] + x);
+            double w = F[0][a] * F[1][b] * F[2][c];
+            for (int k = 0; k < 3; k++) disp[k] += w * cf[id + k];
+        }
+        for (int k = 0; k < 3; k++) out[k] = in[k] + (float)disp[k];
+    };
+
     auto transformBspline = [&]() {
 #pragma omp parallel for
         for (int i = 0; i < n; i++) {
             ImageData& im = images[i];
             size_t P = im.xyz.size() / 3;
-            for (size_t p = 0; p < P; p++) {
-                double F[3][4]; int base[3];
-                for (int k = 0; k < 3; k++) {
-                    double u = (im.xyz[3 * p + k] - origin[k]) / spacing[k];
-                    int iu = (int)floor(u);
-                    bsplineWeights(F[k], u - iu);
-                    base[k] = iu - 1;
-                }
-                double disp[3] = {0, 0, 0};
-                for (int c = 0; c < 4; c++) for (int b = 0; b < 4; b++) for (int a = 0; a < 4; a++) {
-                    int x = base[0] + a, y = base[1] + b, z = base[2] + c;
-                    if (x < 0 || y < 0 || z < 0 || x >= dims[0] || y >= dims[1] || z >= dims[2]) continue;
-                    size_t id = 3 * ((size_t)(z * dims[1] + y) * dims[0] + x);
-                    double w = F[0][a] * F[1][b] * F[2][c];
-                    for (int k = 0; k < 3; k++) disp[k] += w * coeffs[i][id + k];
-                }
-                for (int k = 0; k < 3; k++)
-                    im.xyz2[3 * p + k] = im.xyz[3 * p + k] + (float)disp[k];
-            }
+            for (size_t p = 0; p < P; p++)
+                bsplineApply(coeffs[i], &im.xyz[3 * p], &im.xyz2[3 * p]);
+            for (size_t p = 0; p < im.probe.size() / 3; p++)
+                bsplineApply(coeffs[i], &im.probe[3 * p], &im.probe2[3 * p]);
         }
     };
 
@@ -393,7 +438,7 @@ int main(int argc, char** argv) {
                 // alpha if this grid never succeeded (imageGroup.cxx:97-115)
                 tDeform += now() - t1;
                 if (itersOnGrid == 0) alpha *= 0.5f;
-                for (int i = 0; i < n; i++) images[i].xyz = images[i].xyz2;
+                bakeAll();
                 coeffs.assign(n, vector<float>(3 * G, 0.f));
                 transformBspline();
                 nGrids++;
@@ -412,7 +457,17 @@ int main(int argc, char** argv) {
         }
         gridsPerLevel.push_back(nGrids);
         // bake the level (imageGroup.cxx:123-126)
-        for (int i = 0; i < n; i++) images[i].xyz = images[i].xyz2;
+        bakeAll();
+    }
+
+    if (probesPath) {
+        std::string outPath = std::string(probesPath) + ".out";
+        FILE* pf = fopen(outPath.c_str(), "wb");
+        if (!pf) { perror("probes out"); return 1; }
+        fwrite(probesLinear.data(), 4, probesLinear.size(), pf);
+        for (int i = 0; i < n; i++)
+            fwrite(images[i].probe.data(), 4, images[i].probe.size(), pf);
+        fclose(pf);
     }
 
     if (dumpPath) {

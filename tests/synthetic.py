@@ -114,10 +114,16 @@ def make_synthetic_volumes(
     shift_amp=8.0,
     seed=0,
     fmt="nii.gz",
+    return_truth=False,
 ):
     """Write N CT-like synthetic volumes: one band-limited random texture
     observed through per-image smooth warps + translations (the volume
-    analog of make_synthetic_group).  Returns the file list.
+    analog of make_synthetic_group).  Returns the file list, or
+    (files, truths) with ``return_truth`` where truths[i] holds the known
+    per-image warp parameters (shift, phase, amp, shape, spacing) —
+    volume i samples the texture at W_i(g) = g + shift + amp*sin(2*pi*
+    g[perm]/shape + phase), so ground-truth correspondences across images
+    are W_i^{-1}(q) for common texture coords q (see gt_correspondences).
 
     192^3 at 2 mm spacing gives a ~384 mm extent — reference-like bbox and
     deformable grid dims (imageGroup.h:52-82) at an extraction-bucket-sized
@@ -149,14 +155,21 @@ def make_synthetic_volumes(
         axis=-1,
     )  # (X, Y, Z, 3) voxel coords
     files = []
+    truths = []
     for i in range(n_images):
         path = os.path.join(out_dir, f"vol{i:02d}.{fmt}")
         files.append(path)
-        if os.path.exists(path):
-            continue
+        # draw BEFORE the cache check so truths stay valid (and identical
+        # to the freshly-generated volumes) when files already exist
         shift = rng.uniform(-shift_amp, shift_amp, 3).astype(np.float32)
         phase = rng.uniform(0, 2 * np.pi, 3).astype(np.float32)
         amp = (warp_amp * rng.uniform(0.5, 1.0, 3)).astype(np.float32)
+        truths.append(
+            {"shift": shift, "phase": phase, "amp": amp,
+             "shape": np.asarray(shape), "spacing": float(spacing)}
+        )
+        if os.path.exists(path):
+            continue
         coords = (
             g
             + shift
@@ -192,4 +205,43 @@ def make_synthetic_volumes(
             path,
             Volume(data, origin=(0.0, 0.0, 0.0), spacing=(spacing,) * 3),
         )
-    return files
+    return (files, truths) if return_truth else files
+
+
+def gt_correspondences(truths, n_probes=100, margin=24, seed=123):
+    """Ground-truth correspondence sets for make_synthetic_volumes output:
+    sample ``n_probes`` common texture coords q, solve g_i = W_i^{-1}(q)
+    per image by fixed-point iteration (the warp is small and smooth), and
+    return world-mm positions (n_images, n_probes, 3).
+
+    Each probe's row is one physical point seen in every image — the
+    automated analog of the reference's manual landmark sets
+    (imageGroup.cxx:1229-1282): after a perfect registration the
+    transformed rows coincide across images.
+    """
+    shape = np.asarray(truths[0]["shape"], np.float64)
+    spacing = float(truths[0]["spacing"])
+    rng = np.random.default_rng(seed)
+    q = rng.uniform(margin, shape - 1 - margin, size=(n_probes, 3))
+    out = np.zeros((len(truths), n_probes, 3), np.float64)
+    for i, t in enumerate(truths):
+        shift = np.asarray(t["shift"], np.float64)
+        phase = np.asarray(t["phase"], np.float64)
+        amp = np.asarray(t["amp"], np.float64)
+        g = q - shift
+        for _ in range(25):
+            g = q - shift - amp * np.sin(
+                2 * np.pi * g[:, [1, 2, 0]] / shape + phase
+            )
+        out[i] = g * spacing
+    return out.astype(np.float32)
+
+
+def tre_stats(positions):
+    """The paper's landmark metric over a (n_images, n_probes, 3) stack:
+    per-probe mean distance to the cross-image centroid, averaged / maxed
+    over probes (imageGroup.cxx:1229-1282).  Returns (mean, max) in mm."""
+    centroid = positions.mean(axis=0, keepdims=True)
+    d = np.linalg.norm(positions - centroid, axis=-1)  # (n_images, n_probes)
+    per_probe = d.mean(axis=0)
+    return float(per_probe.mean()), float(per_probe.max())

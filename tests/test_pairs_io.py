@@ -77,7 +77,7 @@ def test_keypoints_roundtrip(tmp_path):
     rng = np.random.default_rng(2)
     mat = rng.normal(size=(20, 54)).astype(np.float32)
     kp = Keypoints.from_matrix(mat)
-    for name in ("k.csv", "k.csv.gz", "k.bin"):
+    for name in ("k.csv", "k.csv.gz", "k.bin", "k.json"):
         f = str(tmp_path / name)
         write_keypoints(f, kp)
         back = read_keypoints(f)
