@@ -94,6 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="multi-process pair partitioning via"
                          " jax.distributed (set JAX_COORDINATOR_ADDRESS /"
                          " JAX_NUM_PROCESSES / JAX_PROCESS_ID)")
+    ma.add_argument("-devices", type=int, default=None,
+                    help="shard the pair list over N local devices"
+                         " in-process (match.cpp:638-652)")
 
     # ---- register (frog.cxx:13-66)
     re = sub.add_parser("register", help="groupwise optimizer")
@@ -372,6 +375,7 @@ def main(argv=None):
             rigids=rigids,
             max_files=args.max_files,
             write_points=args.write_points,
+            devices=args.devices,
         )
     elif cmd == "register":
         from .io.pairs import read_pairs

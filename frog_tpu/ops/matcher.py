@@ -339,7 +339,7 @@ def _pallas_chunk_top2(desc16_b, meta_b, desc16_a, meta_a, scale_ratio):
     )(desc16_b, meta_b, desc16_a, meta_a)
 
 
-def _match_pairs_batched(keypoints, pairs, params, positions):
+def _match_pairs_batched(keypoints, pairs, params, positions, mesh=None):
     """Evaluate many (A, B) pairs per device dispatch: all images are
     padded to one common point count and the top-2 kernel is vmapped over
     a chunk of pairs — amortizing dispatch/sync cost, which dominates on
@@ -349,6 +349,12 @@ def _match_pairs_batched(keypoints, pairs, params, positions):
     accept mask + narrow winner indices) and cross back to the host in ONE
     readback at the end: on a remote-attached TPU the per-chunk readback
     (~0.2 MB/s + an RTT per sync) costs far more than the matching itself.
+
+    With ``mesh``, the pair-chunk axis is sharded across the mesh devices
+    (keypoint stacks replicated) — the in-process multi-device analog of
+    the reference's all-cores OpenMP pair loop (match.cpp:638-652); a
+    single-host multi-chip slice then matches on every chip without
+    multi-process setup.
     """
     n_max = max(len(kp) for kp in keypoints)
     pad = max(_TILE, ((n_max + _TILE - 1) // _TILE) * _TILE)
@@ -391,6 +397,10 @@ def _match_pairs_batched(keypoints, pairs, params, positions):
     if use_pallas:
         stacked["desc16"], stacked["meta"] = _jit_prep_meta(
             stacked["desc"], stacked["lapl"], stacked["scale"], stacked["valid"]
+        )
+    if mesh is not None and pairs:
+        return _match_pairs_mesh(
+            stacked, keypoints, pairs, params, mesh, use_pallas, pad
         )
     t = pad // _TILE
     results = {}
@@ -473,6 +483,93 @@ def _match_pairs_batched(keypoints, pairs, params, positions):
     return results
 
 
+def _match_pairs_mesh(stacked, keypoints, pairs, params, mesh, use_pallas,
+                      pad):
+    """Shard the pair-chunk axis over the mesh: ONE dispatch evaluates the
+    whole pair list, each device scanning its slice of chunks against the
+    replicated keypoint stacks.  Output layout matches the single-device
+    accumulator (chunk-flattened accept bits + winner indices)."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax.sharding import shard_map
+
+    axis = mesh.axis_names[0]
+    d = mesh.devices.size
+    c = _PAIR_CHUNK
+    n_chunks = -(-len(pairs) // c)
+    n_chunks_pad = -(-n_chunks // d) * d
+    flat = list(pairs) + [pairs[-1]] * (n_chunks_pad * c - len(pairs))
+    ia = np.asarray([p[0] for p in flat], np.int32).reshape(n_chunks_pad, c)
+    ib = np.asarray([p[1] for p in flat], np.int32).reshape(n_chunks_pad, c)
+    t = pad // _TILE
+    narrow = pad < 32768
+    sr = jnp.float32(params.scale_ratio)
+    ad = jnp.float32(params.anat_distance)
+    md = jnp.float32(params.max_distance)
+    rr = jnp.float32(params.second_ratio)
+
+    if use_pallas:
+        fields = ("desc16", "meta", "desc")
+    else:
+        fields = ("desc", "lapl", "scale", "pos", "valid")
+    reps = tuple(stacked[f] for f in fields)
+
+    def local(ia_l, ib_l, *reps):
+        s = dict(zip(fields, reps))
+
+        def one(idx):
+            ia_c, ib_c = idx
+            if use_pallas:
+                d1, d2, i1, i2 = _pallas_chunk_top2(
+                    s["desc16"][ib_c], s["meta"][ib_c],
+                    s["desc16"][ia_c], s["meta"][ia_c],
+                    jnp.asarray([[params.scale_ratio]], jnp.float32),
+                )
+            else:
+                kernel = _batched_top2(params.anat_distance > 0, params.fast)
+                d1, d2, i1, i2 = kernel(
+                    s["desc"][ib_c], s["lapl"][ib_c], s["scale"][ib_c],
+                    s["pos"][ib_c], s["valid"][ib_c],
+                    s["desc"][ia_c].reshape(c, t, _TILE, -1),
+                    s["lapl"][ia_c].reshape(c, t, _TILE),
+                    s["scale"][ia_c].reshape(c, t, _TILE),
+                    s["pos"][ia_c].reshape(c, t, _TILE, 3),
+                    s["valid"][ia_c].reshape(c, t, _TILE),
+                    sr, ad,
+                )
+            if params.fast:
+                d1, d2, i1 = _BATCHED_RESCORE(
+                    s["desc"][ib_c], s["desc"][ia_c], i1, i2, d1, d2
+                )
+            return _accept_device(d1, d2, i1, md, rr, narrow)
+
+        return jax.lax.map(one, (ia_l, ib_l))
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (P(),) * len(reps),
+        out_specs=(P(axis), P(axis)),
+        check_rep=False,
+    )
+    bits, idxn = fn(jnp.asarray(ia), jnp.asarray(ib), *reps)
+    acc_all = np.unpackbits(
+        np.asarray(bits).reshape(n_chunks_pad * c, -1), axis=-1,
+        bitorder="little",
+    )
+    idx_all = np.asarray(idxn).reshape(n_chunks_pad * c, -1).astype(np.int64)
+    results = {}
+    for k, (i, j) in enumerate(pairs):
+        nb = len(keypoints[j])
+        rows = np.flatnonzero(acc_all[k][:nb])
+        results[(i, j)] = np.stack(
+            [idx_all[k][rows], rows], axis=1
+        ).astype(np.int64)
+    return results
+
+
 @partial(jax.jit, static_argnames=("narrow",))
 def _accept_device(d1, d2, idx1, max_distance, second_ratio, narrow=False):
     """Threshold + second-ratio acceptance on device (match.cpp:319-330).
@@ -518,12 +615,15 @@ def match_graph(
     positions: list | None = None,
     pairs: list | None = None,
     progress: bool = False,
+    mesh=None,
 ) -> PairGraph:
     """Build the full match graph over a list of Keypoints.
 
     ``target`` restricts to pairs (i, target) for register-one-vs-group
     (-targ, match.cpp:617-628).  ``pairs`` restricts to an explicit pair
     subset (multi-process pair partitioning, parallel.distributed).
+    ``mesh`` shards the pair list across local devices in-process
+    (match.cpp:638-652's all-cores loop, per chip instead of per core).
     Returns a PairGraph whose images carry (xyz, scale, laplacianSign,
     response) exactly as match writes them.
     """
@@ -550,10 +650,12 @@ def match_graph(
             if progress:
                 print(f"pair ({i},{j}): {m.shape[0]} matches")
     else:
-        fwd = _match_pairs_batched(keypoints, pairs, params, positions)
+        fwd = _match_pairs_batched(keypoints, pairs, params, positions,
+                                   mesh=mesh)
         rev = (
             _match_pairs_batched(
-                keypoints, [(j, i) for i, j in pairs], params, positions
+                keypoints, [(j, i) for i, j in pairs], params, positions,
+                mesh=mesh,
             )
             if params.symmetric
             else {}

@@ -224,13 +224,16 @@ def match_stage(
     skip_existing: bool = False,
     verbose: bool = True,
     write_points: bool = False,
+    devices: int | None = None,
 ) -> PairGraph:
     """Load + prune keypoints, build the match graph, write pairs.bin
     (match/match.cpp main flow).  ``rigids`` are per-file offsets whose z
     component shifts the z-slab filter (match.cpp:538-546) and which are
     written to pairs.bin as refTranslation; ``max_files`` caps the file
     list (-n, match.cpp:498-500); ``write_points`` dumps the surviving
-    (post-prune) keypoints to points<i>.csv (-p, match.cpp:600-605)."""
+    (post-prune) keypoints to points<i>.csv (-p, match.cpp:600-605);
+    ``devices`` shards the pair list over that many local devices
+    in-process (the reference's all-cores pair loop, match.cpp:638-652)."""
     if max_files is not None and len(keypoint_files) > max_files:
         keypoint_files = keypoint_files[:max_files]
         if rigids is not None:
@@ -272,9 +275,14 @@ def match_stage(
             chain = read_transform(f"{transform_prefix}{idx}.json")
             positions.append(np.asarray(chain(jnp.asarray(kp.xyz))))
     names = [os.path.basename(f) for f in keypoint_files]
+    mesh = None
+    if devices:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(devices)
     graph = match_graph(
         kps, params, names=names, target=target, positions=positions,
-        ref_translations=rigids, pairs=pairs, progress=verbose,
+        ref_translations=rigids, pairs=pairs, progress=verbose, mesh=mesh,
     )
     if out_file:
         write_pairs(out_file, graph)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from frog_tpu.io.keypoints import Keypoints
 from frog_tpu.ops.matcher import MatchParams, match_all_pair, match_graph, match_pair
@@ -163,3 +164,51 @@ def test_fast_mode_agreement():
     sf = set(map(tuple, fast.tolist()))
     overlap = len(se & sf) / max(len(se | sf), 1)
     assert overlap > 0.99, overlap
+
+
+def test_mesh_sharded_match_equals_single_device():
+    """Pair-chunk-sharded matching on a device mesh must reproduce the
+    single-device match graph exactly (match.cpp:638-652's all-cores loop,
+    per device)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from frog_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    kps = []
+    base = random_keypoints(rng, 220)
+    for k in range(5):
+        kp = random_keypoints(rng, 200 + 7 * k, planted_from=None)
+        kp.desc[:120] = base.desc[:120] + rng.normal(
+            scale=0.02, size=(120, 48)
+        ).astype(np.float32)
+        kp.scale[:120] = base.scale[: 120]
+        kp.laplacian[:120] = base.laplacian[:120]
+        kps.append(kp)
+    params = MatchParams(max_distance=0.6, second_ratio=0.92)
+    single = match_graph(kps, params)
+    mesh = make_mesh(8)
+    sharded = match_graph(kps, params, mesh=mesh)
+    assert set(single.matches) == set(sharded.matches)
+    for key in single.matches:
+        np.testing.assert_array_equal(single.matches[key], sharded.matches[key])
+
+
+def test_mesh_sharded_match_symmetric_and_target():
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from frog_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(12)
+    kps = [random_keypoints(rng, 150 + 11 * k) for k in range(4)]
+    params = MatchParams(max_distance=1.5, second_ratio=1.0, symmetric=True)
+    mesh = make_mesh(4)
+    single = match_graph(kps, params, target=2)
+    sharded = match_graph(kps, params, target=2, mesh=mesh)
+    assert set(single.matches) == set(sharded.matches)
+    for key in single.matches:
+        np.testing.assert_array_equal(single.matches[key], sharded.matches[key])
