@@ -48,13 +48,19 @@ __all__ = [
 def band_matrix(n: int, segments) -> jax.Array:
     """(n, n) banded filter matrix: out[i] = sum_j M[i, j] v[j] with
     M[i, j] = sum over (a, b, w) segments of w * [a <= j - i <= b].
-    Out-of-range taps are simply absent (zero border contribution)."""
-    i = np.arange(n)[:, None]
-    j = np.arange(n)[None, :]
-    m = np.zeros((n, n), np.float32)
+    Out-of-range taps are simply absent (zero border contribution).
+
+    Built from iotas ON DEVICE (traceable, negligible FLOPs) rather than
+    as a host constant: dozens of these appear per detect executable, and
+    embedding them as literals bloats the HLO this backend ships to its
+    REMOTE compile service by ~10 MB."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    r = j - i
+    m = jnp.zeros((n, n), jnp.float32)
     for (a, b, w) in segments:
-        m += w * ((j - i >= a) & (j - i <= b))
-    return jnp.asarray(m)
+        m = m + jnp.float32(w) * ((r >= a) & (r <= b)).astype(jnp.float32)
+    return m
 
 
 def apply_band(arr: jax.Array, axis: int, mat: jax.Array) -> jax.Array:

@@ -40,6 +40,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <random>
 #include <string>
 #include <vector>
 #ifdef _OPENMP
@@ -117,6 +118,87 @@ static void bsplineWeights(double F[4], double f) {
     F[0] = (f2 - f) * 0.5 - F[3] + sixth;
     F[2] = f + F[0] - 2 * F[3];
     F[1] = 1 - F[0] - F[2] - F[3];
+}
+
+// ---- Horn's closed-form similarity fit (the quaternion method behind
+// vtkLandmarkTransform's similarity mode): dst ~ s R src + t.
+// Jacobi eigensolver on the symmetric 4x4 quaternion matrix.
+static void jacobiEig4(double a[4][4], double v[4][4]) {
+    for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 4; j++) v[i][j] = i == j ? 1.0 : 0.0;
+    for (int sweep = 0; sweep < 50; sweep++) {
+        double off = 0;
+        for (int p = 0; p < 4; p++)
+            for (int q = p + 1; q < 4; q++) off += a[p][q] * a[p][q];
+        if (off < 1e-24) break;
+        for (int p = 0; p < 4; p++) for (int q = p + 1; q < 4; q++) {
+            if (fabs(a[p][q]) < 1e-30) continue;
+            double theta = (a[q][q] - a[p][p]) / (2 * a[p][q]);
+            double t = (theta >= 0 ? 1.0 : -1.0) /
+                       (fabs(theta) + sqrt(theta * theta + 1));
+            double c = 1 / sqrt(t * t + 1), s = t * c;
+            for (int k = 0; k < 4; k++) {
+                double akp = a[k][p], akq = a[k][q];
+                a[k][p] = c * akp - s * akq;
+                a[k][q] = s * akp + c * akq;
+            }
+            for (int k = 0; k < 4; k++) {
+                double apk = a[p][k], aqk = a[q][k];
+                a[p][k] = c * apk - s * aqk;
+                a[q][k] = s * apk + c * aqk;
+            }
+            for (int k = 0; k < 4; k++) {
+                double vkp = v[k][p], vkq = v[k][q];
+                v[k][p] = c * vkp - s * vkq;
+                v[k][q] = s * vkp + c * vkq;
+            }
+        }
+    }
+}
+
+// mat: row-major 4x4 output, identity bottom row
+static void hornSimilarity(const vector<float>& src, const vector<float>& dst,
+                           double mat[16]) {
+    size_t k = src.size() / 3;
+    double ca[3] = {0, 0, 0}, cb[3] = {0, 0, 0};
+    for (size_t p = 0; p < k; p++)
+        for (int j = 0; j < 3; j++) {
+            ca[j] += src[3 * p + j] / k;
+            cb[j] += dst[3 * p + j] / k;
+        }
+    double m[3][3] = {{0}}, varA = 0, varB = 0;
+    for (size_t p = 0; p < k; p++) {
+        double a[3], b[3];
+        for (int j = 0; j < 3; j++) {
+            a[j] = src[3 * p + j] - ca[j];
+            b[j] = dst[3 * p + j] - cb[j];
+        }
+        for (int i = 0; i < 3; i++) for (int j = 0; j < 3; j++)
+            m[i][j] += a[i] * b[j] / k;
+        for (int j = 0; j < 3; j++) { varA += a[j] * a[j] / k; varB += b[j] * b[j] / k; }
+    }
+    double nm[4][4] = {
+        {m[0][0] + m[1][1] + m[2][2], m[1][2] - m[2][1], m[2][0] - m[0][2], m[0][1] - m[1][0]},
+        {m[1][2] - m[2][1], m[0][0] - m[1][1] - m[2][2], m[0][1] + m[1][0], m[2][0] + m[0][2]},
+        {m[2][0] - m[0][2], m[0][1] + m[1][0], -m[0][0] + m[1][1] - m[2][2], m[1][2] + m[2][1]},
+        {m[0][1] - m[1][0], m[2][0] + m[0][2], m[1][2] + m[2][1], -m[0][0] - m[1][1] + m[2][2]},
+    };
+    double vv[4][4];
+    jacobiEig4(nm, vv);
+    int best = 0;
+    for (int j = 1; j < 4; j++) if (nm[j][j] > nm[best][best]) best = j;
+    double q0 = vv[0][best], qx = vv[1][best], qy = vv[2][best], qz = vv[3][best];
+    double r[3][3] = {
+        {1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - q0 * qz), 2 * (qx * qz + q0 * qy)},
+        {2 * (qx * qy + q0 * qz), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - q0 * qx)},
+        {2 * (qx * qz - q0 * qy), 2 * (qy * qz + q0 * qx), 1 - 2 * (qx * qx + qy * qy)},
+    };
+    double s = sqrt(varB / std::max(varA, 1e-30));
+    for (int i = 0; i < 3; i++) {
+        for (int j = 0; j < 3; j++) mat[4 * i + j] = s * r[i][j];
+        mat[4 * i + 3] = cb[i] - s * (r[i][0] * ca[0] + r[i][1] * ca[1] + r[i][2] * ca[2]);
+    }
+    mat[12] = mat[13] = mat[14] = 0; mat[15] = 1;
 }
 
 int main(int argc, char** argv) {
@@ -250,6 +332,126 @@ int main(int argc, char** argv) {
     };
 
     double tStats = 0, tLinear = 0, tDeform = 0;
+
+    // ---- fixed-image RANSAC path (imageGroup.cxx:40-49, 629-804): with
+    // useRansac, every moving image is aligned to the (baked) fixed group
+    // by 4-point similarity hypotheses + an inlier refit, REPLACING the
+    // linear loop; the similarity fit is Horn's quaternion method (what
+    // vtkLandmarkTransform's similarity mode computes).
+    int useRansac = argc > 13 ? atoi(argv[13]) : 0;
+    int ransacIters = argc > 14 ? atoi(argv[14]) : 5000;
+    double ransacDist = argc > 15 ? atof(argv[15]) : 50.0;
+    double ransacMaxScale = argc > 16 ? atof(argv[16]) : 10.0;
+    vector<long> ransacInliers;
+    if (useRansac && nFixed > 0) {
+        double tR0 = now();
+        double dist2 = ransacDist * ransacDist;
+        for (int i = nFixed; i < n; i++) {
+            ImageData& im = images[i];
+            for (int k = 0; k < 3; k++) { im.trans[k] = 0; im.scale[k] = 1; }
+            size_t P = im.xyz.size() / 3;
+            vector<vector<uint32_t>> ptLinks(P);
+            for (uint32_t l = 0; l < im.links.size(); l++)
+                ptLinks[im.links[l].src].push_back(l);
+            int nBatches = 1;
+#ifdef _OPENMP
+            nBatches = omp_get_max_threads();
+#endif
+            int batchIters = std::max(1, ransacIters / nBatches);
+            long bestInl = -1; double bestMat[16] = {1,0,0,0, 0,1,0,0, 0,0,1,0, 0,0,0,1};
+#pragma omp parallel for
+            for (int b = 0; b < nBatches; b++) {
+                std::mt19937 rng(b * 1000);
+                long localBest = -1; double localMat[16];
+                vector<float> src(12), dst(12);
+                for (int it = 0; it < batchIters; it++) {
+                    for (int j = 0; j < 4; j++) {
+                        while (true) {
+                            uint32_t pt = rng() % P;
+                            if (ptLinks[pt].empty()) continue;
+                            const HalfLink& lk =
+                                im.links[ptLinks[pt][rng() % ptLinks[pt].size()]];
+                            const float* pB =
+                                &images[lk.dstImg].xyz2[3 * lk.dstPt];
+                            for (int k = 0; k < 3; k++) {
+                                src[3 * j + k] = im.xyz[3 * pt + k];
+                                dst[3 * j + k] = pB[k];
+                            }
+                            break;
+                        }
+                    }
+                    double mat[16];
+                    hornSimilarity(src, dst, mat);
+                    // det of the 4x4 similarity = s^3 (imageGroup.cxx:789)
+                    double s3 =
+                        mat[0] * (mat[5] * mat[10] - mat[6] * mat[9]) -
+                        mat[1] * (mat[4] * mat[10] - mat[6] * mat[8]) +
+                        mat[2] * (mat[4] * mat[9] - mat[5] * mat[8]);
+                    double det = fabs(s3);
+                    if (det > ransacMaxScale || det < 1.0 / ransacMaxScale)
+                        continue;
+                    long nInl = 0;
+                    for (const HalfLink& lk : im.links) {
+                        const float* pA = &im.xyz[3 * lk.src];
+                        const float* pB = &images[lk.dstImg].xyz2[3 * lk.dstPt];
+                        double d2 = 0;
+                        for (int k = 0; k < 3; k++) {
+                            double t = mat[4 * k] * pA[0] + mat[4 * k + 1] * pA[1]
+                                     + mat[4 * k + 2] * pA[2] + mat[4 * k + 3] - pB[k];
+                            d2 += t * t;
+                        }
+                        if (d2 < dist2) nInl++;
+                    }
+                    if (nInl > localBest) {
+                        localBest = nInl;
+                        memcpy(localMat, mat, sizeof mat);
+                    }
+                }
+#pragma omp critical
+                if (localBest > bestInl) {
+                    bestInl = localBest;
+                    memcpy(bestMat, localMat, sizeof localMat);
+                }
+            }
+            // refit on the best hypothesis's inliers (imageGroup.cxx:667-700)
+            vector<float> src, dst;
+            for (const HalfLink& lk : im.links) {
+                const float* pA = &im.xyz[3 * lk.src];
+                const float* pB = &images[lk.dstImg].xyz2[3 * lk.dstPt];
+                double d2 = 0;
+                for (int k = 0; k < 3; k++) {
+                    double t = bestMat[4 * k] * pA[0] + bestMat[4 * k + 1] * pA[1]
+                             + bestMat[4 * k + 2] * pA[2] + bestMat[4 * k + 3] - pB[k];
+                    d2 += t * t;
+                }
+                if (d2 < dist2) {
+                    for (int k = 0; k < 3; k++) {
+                        src.push_back(pA[k]); dst.push_back(pB[k]);
+                    }
+                }
+            }
+            double finalMat[16];
+            if (src.size() >= 12) hornSimilarity(src, dst, finalMat);
+            else memcpy(finalMat, bestMat, sizeof bestMat);
+            ransacInliers.push_back(bestInl);
+            // bake the similarity into the image's coords (+ probes)
+            auto applyMat = [&](vector<float>& pts) {
+                for (size_t p = 0; p < pts.size() / 3; p++) {
+                    float in[3] = {pts[3 * p], pts[3 * p + 1], pts[3 * p + 2]};
+                    for (int k = 0; k < 3; k++)
+                        pts[3 * p + k] = (float)(finalMat[4 * k] * in[0]
+                            + finalMat[4 * k + 1] * in[1]
+                            + finalMat[4 * k + 2] * in[2] + finalMat[4 * k + 3]);
+                }
+            };
+            applyMat(im.xyz);
+            applyMat(im.probe);
+            im.xyz2 = im.xyz;
+            im.probe2 = im.probe;
+        }
+        nLinear = 0;  // RANSAC replaces the linear loop (imageGroup.cxx:40-66)
+        tLinear += now() - tR0;
+    }
 
     // ---- linear loop (imageGroup.cxx:54-66, 1063-1149)
     transformLinear();
@@ -484,6 +686,10 @@ int main(int argc, char** argv) {
         };
         dumpVec("es_linear", esLinear);
         dumpVec("es_deform", esDeform);
+        fprintf(d, "\"ransac_inliers\": [");
+        for (size_t k = 0; k < ransacInliers.size(); k++)
+            fprintf(d, "%s%ld", k ? "," : "", ransacInliers[k]);
+        fprintf(d, "],\n");
         fprintf(d, "\"alpha_final\": %.9g, \"grids_per_level\": [", alpha);
         for (size_t k = 0; k < gridsPerLevel.size(); k++)
             fprintf(d, "%s%d", k ? "," : "", gridsPerLevel[k]);

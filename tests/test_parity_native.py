@@ -344,3 +344,106 @@ def test_final_coefficients_match(parity_runs):
         ours = coeffs.transpose(2, 1, 0, 3)
         scale = np.abs(native_coeffs).max() + 1e-6
         np.testing.assert_allclose(ours, native_coeffs, atol=2e-3 * scale)
+
+
+@pytest.fixture(scope="module")
+def parity_runs_ransac(tmp_path_factory):
+    """Fixed-image RANSAC path end-to-end (register-one with RANSAC ON):
+    3 fixed images + 1 moving image displaced by a planted similarity
+    (rotation + scale + translation) with planted outlier matches.  Both
+    sides run 4-point-hypothesis RANSAC + inlier refit (Horn similarity =
+    vtkLandmarkTransform's method, imageGroup.cxx:629-804); random draws
+    differ, so the parity bar is statistical."""
+    if not _ensure_binary():
+        pytest.skip("no C++ toolchain for native baseline")
+    tmp = tmp_path_factory.mktemp("parity_ransac")
+    rng = np.random.default_rng(61)
+    n_points = 400
+    cloud = rng.uniform(0, 200.0, (n_points, 3)).astype(np.float32)
+
+    # planted similarity: moving-image coords = S^-1(common)
+    ang = np.deg2rad(18.0)
+    rot = np.asarray(
+        [[np.cos(ang), -np.sin(ang), 0],
+         [np.sin(ang), np.cos(ang), 0],
+         [0, 0, 1]], np.float32)
+    scale = 1.15
+    trans = np.asarray([12.0, -9.0, 5.0], np.float32)
+    moving = ((cloud - trans) @ rot) / scale  # R^-1 (x - t) / s, row form
+
+    from frog_tpu.io.pairs import ImagePoints, PairGraph
+
+    images = []
+    for i in range(3):  # fixed images: common cloud + small noise
+        images.append(ImagePoints(
+            name=f"fix{i}", ref_translation=np.zeros(3),
+            xyz=cloud + rng.normal(scale=0.3, size=cloud.shape).astype(np.float32),
+            other=np.ones((n_points, 3), np.float32)))
+    images.append(ImagePoints(
+        name="mov", ref_translation=np.zeros(3),
+        xyz=moving + rng.normal(scale=0.3, size=cloud.shape).astype(np.float32),
+        other=np.ones((n_points, 3), np.float32)))
+
+    matches = {}
+    ids = np.arange(n_points)
+    for i in range(3):
+        m = np.stack([ids, ids], axis=1)
+        out_rows = rng.choice(n_points, size=n_points // 4, replace=False)
+        m[out_rows, 1] = rng.integers(0, n_points, size=out_rows.size)
+        matches[(i, 3)] = m.astype(np.int64)
+    graph = PairGraph(images=images, matches=matches)
+
+    pairs = str(tmp / "pairs.bin")
+    write_pairs(pairs, graph)
+    dump = str(tmp / "dump.json")
+    subprocess.run(
+        [BIN, pairs, "0", "0", "100.0", "1000000000", dump, "1", "0",
+         "0.4", "3", "0.02", "", "1", "5000", "8.0", "10.0"],
+        check=True, capture_output=True,
+    )
+    with open(dump) as f:
+        native = json.load(f)
+
+    cfg = GroupConfig(
+        linear_iterations=0,
+        deformable_levels=0,
+        n_fixed=3,
+        use_ransac=True,
+        ransac_iterations=5000,
+        ransac_inlier_distance=8.0,
+        verbose=False,
+        aot_warm=False,
+    )
+    reg = GroupRegistration(graph, cfg)
+    reg.run()
+    return native, reg, cloud
+
+
+def test_ransac_both_sides_recover_planted_similarity(parity_runs_ransac):
+    native, reg, cloud = parity_runs_ransac
+    cpp_mov = np.asarray(native["images"][3]["xyz2"], np.float32).reshape(-1, 3)
+    jax_mov = np.asarray(reg.arrays.xyz2)[3, : cloud.shape[0]]
+    # both sides must place the moving image back onto the common cloud
+    # (noise floor ~0.3 mm/axis; refits average it down)
+    for name, got in (("cpp", cpp_mov), ("jax", jax_mov)):
+        err = np.linalg.norm(got - cloud, axis=1)
+        assert np.median(err) < 2.0, (name, np.median(err))
+
+
+def test_ransac_inlier_counts_agree(parity_runs_ransac):
+    native, reg, cloud = parity_runs_ransac
+    cpp_inl = native["ransac_inliers"][0]
+    jax_inl = reg.stats_record["RANSAC"][0]["inliers"]
+    # ~75% of 3*400 half-links are true inliers; different draws land
+    # within a few percent of each other
+    assert cpp_inl > 600 and jax_inl > 600, (cpp_inl, jax_inl)
+    assert abs(cpp_inl - jax_inl) < 0.1 * max(cpp_inl, jax_inl), (
+        cpp_inl, jax_inl)
+
+
+def test_ransac_transforms_agree(parity_runs_ransac):
+    native, reg, cloud = parity_runs_ransac
+    cpp_mov = np.asarray(native["images"][3]["xyz2"], np.float32).reshape(-1, 3)
+    jax_mov = np.asarray(reg.arrays.xyz2)[3, : cloud.shape[0]]
+    d = np.linalg.norm(cpp_mov - jax_mov, axis=1)
+    assert np.median(d) < 1.0, np.median(d)
