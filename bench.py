@@ -40,7 +40,17 @@ import numpy as np
 
 # Persistent compilation cache: warm-up compiles (which can take many
 # minutes through the remote-compile service) are reused across runs.
+# Must be set via jax.config (NOT the env var): this container's
+# sitecustomize imports jax before any user code, so env vars set here
+# are read too late (utils/cache.py).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+from frog_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 N_IMAGES = int(os.environ.get("FROG_BENCH_IMAGES", 20))
 N_POINTS = int(os.environ.get("FROG_BENCH_POINTS", 20000))
@@ -57,9 +67,6 @@ CPP_EXTRACTS = int(os.environ.get("FROG_BENCH_CPP_EXTRACTS", 2))
 CPP_LIN_ITERS = int(os.environ.get("FROG_BENCH_CPP_LIN", 10))
 CPP_DEF_ITERS = int(os.environ.get("FROG_BENCH_CPP_DEF", 10))
 WORKDIR = os.environ.get("FROG_BENCH_DIR", "/tmp/frog_bench_ref")
-
-ROOT = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, ROOT)
 
 
 def log(*a):

@@ -257,6 +257,13 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cmd = args.command
 
+    # Persistent compilation cache across CLI invocations: explicit
+    # config, because this container's sitecustomize imports jax before
+    # user code so the env-var route never engages (utils/cache.py).
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if getattr(args, "n_threads", None):
         # -nt analog: cap XLA's CPU host threads (omp_set_num_threads,
         # frog.cxx:143-145 / match.cpp:501).  Must be APPENDED to XLA_FLAGS

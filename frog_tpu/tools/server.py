@@ -656,6 +656,9 @@ def serve(root: str, port: int = 8080, work_dir: str | None = None,
           verbose: bool = True):
     """Start the app server; returns (httpd, FrogServer). Call
     httpd.serve_forever() (or spin it in a thread for tests)."""
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # server restarts reuse prior executables
     fs = FrogServer(root, work_dir)
     httpd = ThreadingHTTPServer(("127.0.0.1", port), _make_handler(fs))
     httpd.daemon_threads = True
