@@ -177,6 +177,41 @@ def _exact_rescore(desc_b, desc_a, idx1, idx2, d1_approx, d2_approx):
     return d1, d2, best
 
 
+@jax.jit
+def _exact_rescore_gated(
+    desc_b, lapl_b, scale_b,
+    desc_a, lapl_a, scale_a, valid_a,
+    idx1, idx2, d1_approx, d2_approx, scale_ratio,
+):
+    """Exact f32 rescore of the two finalists PLUS an exact re-check of
+    every gate (laplacian sign, scale ratio, A validity) on them.
+
+    Required for the v3 pallas kernel, whose MXU-folded binary gates are
+    penalties rather than exclusions: a finalist may be gate-invalid when
+    a row has fewer than two valid candidates; this restores the exact
+    reference semantics (match.cpp:270-293) on the finalists."""
+
+    def check(idx, d_approx):
+        e = jnp.sum((desc_b - desc_a[idx]) ** 2, axis=1)
+        sr = scale_b / scale_a[idx]
+        ok = (
+            jnp.isfinite(d_approx)
+            & (lapl_b == lapl_a[idx])
+            & (sr <= scale_ratio)
+            & (sr * scale_ratio >= 1.0)
+            & valid_a[idx]
+        )
+        return jnp.where(ok, e, jnp.inf)
+
+    e1 = check(idx1, d1_approx)
+    e2 = check(idx2, d2_approx)
+    swap = e2 < e1
+    d1 = jnp.where(swap, e2, e1)
+    d2 = jnp.where(swap, e1, e2)
+    best = jnp.where(swap, idx2, idx1)
+    return d1, d2, best
+
+
 def _prep(kp: Keypoints, pos: np.ndarray | None, pad: int):
     return dict(
         desc=jnp.asarray(_pad_to(kp.desc.astype(np.float32), pad)),
@@ -285,6 +320,9 @@ def _batched_top2(use_anat: bool, fast: bool):
 
 
 _BATCHED_RESCORE = jax.jit(jax.vmap(_exact_rescore))
+_BATCHED_RESCORE_GATED = jax.jit(
+    jax.vmap(_exact_rescore_gated, in_axes=(0,) * 11 + (None,))
+)
 _PAIR_CHUNK = 14  # pairs per device dispatch (tuned on v5e)
 
 _PALLAS_STATE = {"checked": False, "ok": False}
@@ -306,12 +344,12 @@ def _pallas_available() -> bool:
 
         if _jax.default_backend() == "cpu":
             raise RuntimeError("cpu backend: use XLA path")
-        db = jnp.zeros((512, 48), jnp.bfloat16)
-        meta = jnp.zeros((512, 4), jnp.float32)
-        da = jnp.zeros((1024, 48), jnp.bfloat16)
-        meta_a = jnp.ones((1024, 4), jnp.float32)
-        out = pm.pallas_top2_v2(
-            db, meta, da, meta_a, jnp.asarray([[1.3]], jnp.float32)
+        q = jnp.zeros((512, 56), jnp.bfloat16)
+        r = jnp.zeros((1024, 56), jnp.bfloat16)
+        out = pm.pallas_top2_v3(
+            q, jnp.zeros((512,), jnp.float32), r,
+            jnp.zeros((1024,), jnp.float32),
+            jnp.asarray([[1.3]], jnp.float32),
         )
         _jax.block_until_ready(out)
         _PALLAS_STATE["ok"] = True
@@ -321,22 +359,21 @@ def _pallas_available() -> bool:
 
 
 @jax.jit
-def _jit_prep_meta(desc, lapl, scale, valid):
-    """bf16 descriptors + per-point metadata rows, one fused dispatch."""
+def _jit_prep_aug(desc, lapl, scale, valid):
+    """Per-image v3 matcher rows (query/reference bf16 + log-scale), one
+    fused dispatch over the stacked image axis."""
     from . import pallas_matcher as pm
 
-    return desc.astype(jnp.bfloat16), jax.vmap(pm.prep_meta)(
-        lapl, scale, valid, desc
-    )
+    return jax.vmap(pm.prep_aug)(lapl, scale, valid, desc)
 
 
 @jax.jit
-def _pallas_chunk_top2(desc16_b, meta_b, desc16_a, meta_a, scale_ratio):
+def _pallas_chunk_top2(q_b, ls_b, r_a, ls_a, scale_ratio):
     from . import pallas_matcher as pm
 
     return jax.vmap(
-        lambda db, mb, da, ma: pm.pallas_top2_v2(db, mb, da, ma, scale_ratio)
-    )(desc16_b, meta_b, desc16_a, meta_a)
+        lambda qb, lb, ra, la: pm.pallas_top2_v3(qb, lb, ra, la, scale_ratio)
+    )(q_b, ls_b, r_a, ls_a)
 
 
 def _match_pairs_batched(keypoints, pairs, params, positions, mesh=None):
@@ -395,7 +432,7 @@ def _match_pairs_batched(keypoints, pairs, params, positions, mesh=None):
         params.fast and params.anat_distance == 0 and _pallas_available()
     )
     if use_pallas:
-        stacked["desc16"], stacked["meta"] = _jit_prep_meta(
+        stacked["q_aug"], stacked["r_aug"], stacked["ls"] = _jit_prep_aug(
             stacked["desc"], stacked["lapl"], stacked["scale"], stacked["valid"]
         )
     if mesh is not None and pairs:
@@ -420,10 +457,10 @@ def _match_pairs_batched(keypoints, pairs, params, positions, mesh=None):
         c = len(chunk)
         if use_pallas:
             d1, d2, idx1, idx2 = _pallas_chunk_top2(
-                stacked["desc16"][ib],
-                stacked["meta"][ib],
-                stacked["desc16"][ia],
-                stacked["meta"][ia],
+                stacked["q_aug"][ib],
+                stacked["ls"][ib],
+                stacked["r_aug"][ia],
+                stacked["ls"][ia],
                 jnp.asarray([[params.scale_ratio]], jnp.float32),
             )
         else:
@@ -443,8 +480,11 @@ def _match_pairs_batched(keypoints, pairs, params, positions, mesh=None):
                 jnp.float32(params.anat_distance),
             )
         if params.fast:
-            d1, d2, idx1 = _BATCHED_RESCORE(
-                stacked["desc"][ib], stacked["desc"][ia], idx1, idx2, d1, d2
+            d1, d2, idx1 = _BATCHED_RESCORE_GATED(
+                stacked["desc"][ib], stacked["lapl"][ib], stacked["scale"][ib],
+                stacked["desc"][ia], stacked["lapl"][ia], stacked["scale"][ia],
+                stacked["valid"][ia],
+                idx1, idx2, d1, d2, jnp.float32(params.scale_ratio),
             )
         # acceptance on device: a bit-packed mask + narrow winner indices
         # are appended to the on-device accumulator (no sync here)
@@ -511,7 +551,7 @@ def _match_pairs_mesh(stacked, keypoints, pairs, params, mesh, use_pallas,
     rr = jnp.float32(params.second_ratio)
 
     if use_pallas:
-        fields = ("desc16", "meta", "desc")
+        fields = ("q_aug", "r_aug", "ls", "desc", "lapl", "scale", "valid")
     else:
         fields = ("desc", "lapl", "scale", "pos", "valid")
     reps = tuple(stacked[f] for f in fields)
@@ -523,8 +563,8 @@ def _match_pairs_mesh(stacked, keypoints, pairs, params, mesh, use_pallas,
             ia_c, ib_c = idx
             if use_pallas:
                 d1, d2, i1, i2 = _pallas_chunk_top2(
-                    s["desc16"][ib_c], s["meta"][ib_c],
-                    s["desc16"][ia_c], s["meta"][ia_c],
+                    s["q_aug"][ib_c], s["ls"][ib_c],
+                    s["r_aug"][ia_c], s["ls"][ia_c],
                     jnp.asarray([[params.scale_ratio]], jnp.float32),
                 )
             else:
@@ -540,8 +580,10 @@ def _match_pairs_mesh(stacked, keypoints, pairs, params, mesh, use_pallas,
                     sr, ad,
                 )
             if params.fast:
-                d1, d2, i1 = _BATCHED_RESCORE(
-                    s["desc"][ib_c], s["desc"][ia_c], i1, i2, d1, d2
+                d1, d2, i1 = _BATCHED_RESCORE_GATED(
+                    s["desc"][ib_c], s["lapl"][ib_c], s["scale"][ib_c],
+                    s["desc"][ia_c], s["lapl"][ia_c], s["scale"][ia_c],
+                    s["valid"][ia_c], i1, i2, d1, d2, sr,
                 )
             return _accept_device(d1, d2, i1, md, rr, narrow)
 
@@ -705,12 +747,14 @@ def warm_matcher(n_points: int, scale_ratio: float = 1.3):
         scale = jnp.ones((c, pad), jnp.float32)
         valid = jnp.ones((c, pad), bool)
         if _pallas_available():
-            desc16, meta = _jit_prep_meta(desc, lapl, scale, valid)
+            q, r, ls = _jit_prep_aug(desc, lapl, scale, valid)
             d1, d2, i1, i2 = _pallas_chunk_top2(
-                desc16, meta, desc16, meta,
-                jnp.asarray([[scale_ratio]], jnp.float32),
+                q, ls, r, ls, jnp.asarray([[scale_ratio]], jnp.float32),
             )
-            d1, d2, i1 = _BATCHED_RESCORE(desc, desc, i1, i2, d1, d2)
+            d1, d2, i1 = _BATCHED_RESCORE_GATED(
+                desc, lapl, scale, desc, lapl, scale, valid,
+                i1, i2, d1, d2, jnp.float32(scale_ratio),
+            )
             _accept_device(
                 d1, d2, i1, jnp.float32(1.0), jnp.float32(0.9), pad < 32768
             )

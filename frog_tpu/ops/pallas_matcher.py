@@ -308,3 +308,155 @@ def pallas_top2_v2(desc_b, meta_b, desc_a, meta_a, scale_ratio, interpret=False)
     d1, i1 = unpack(k1, t1)
     d2, i2 = unpack(k2, t2)
     return d1, d2, i1, i2
+
+
+# --------------------------------------------------------------------- v3
+#
+# v2 left ~6 VPU passes per (512, 1024) tile: distance compose (norm_b +
+# norm_a - 2*cross), the fused gate channel, key packing, and two
+# min-reductions.  v3 moves EVERYTHING that is a polynomial in per-point
+# channels INTO the MXU contraction, where the K axis pads to 128 lanes
+# anyway (adding channels to a K=48 bf16 contraction is literally free):
+#
+#   Q.R = |b|^2 + |a|^2 - 2 a.b                      (norm channels)
+#         + M (lapl_b - lapl_a)^2                    (equal-sign gate)
+#         + V (1 - valid_a)                          (A validity)
+#
+# with M, V exact powers of two and lapl in {-1, 0, 1}, the penalty
+# terms are EXACT in bf16 arithmetic: any candidate failing the binary
+# gates carries >= M = 2^13, far above any true descriptor distance, so
+# it can win a top-2 slot only when fewer than two gate-valid candidates
+# exist — and the caller's exact rescore re-checks all gates on the two
+# finalists, restoring v2's contract bit-for-bit.  The only remaining
+# VPU work per tile: the (continuous) scale-ratio gate folded into the
+# key select, the key pack, and the two min-reductions.
+#
+# The augmentation is per-image, done once in the caller (prep_aug):
+# query rows [-r2*desc, 1, |d|^2, M*l^2, -2M*l, M, 1] pair with
+# reference rows [r2*desc, |d|^2, 1, 1, l, l^2, V*(1-valid)].
+
+_M_LAPL = 8192.0  # 2^13: > any true descriptor distance
+_V_INVALID = 4194304.0  # 2^22: > 4 * M_LAPL
+
+
+def prep_aug(lapl, scale, valid, desc_f32):
+    """Per-image v3 matcher rows: (query_aug, ref_aug) bf16 (P, D+8) and
+    the f32 log-scale channel for the in-kernel ratio gate."""
+    r2 = jnp.float32(np.sqrt(2.0))
+    norm = jnp.sum(desc_f32 * desc_f32, axis=1, keepdims=True)
+    one = jnp.ones_like(norm)
+    l = lapl[:, None]
+    q = jnp.concatenate(
+        [-r2 * desc_f32, one, norm, _M_LAPL * l * l, -2.0 * _M_LAPL * l,
+         _M_LAPL * one, one, jnp.zeros_like(norm)], axis=1
+    )
+    r = jnp.concatenate(
+        [r2 * desc_f32, norm, one, one, l, l * l,
+         _V_INVALID * (1.0 - valid.astype(jnp.float32)[:, None]),
+         jnp.zeros_like(norm)], axis=1
+    )
+    ls = jnp.log(jnp.maximum(scale, 1e-30))
+    return q.astype(jnp.bfloat16), r.astype(jnp.bfloat16), ls
+
+
+def _kernel_v3(
+    q_ref,  # (BB2, D+8) bf16 query rows
+    ls_b_ref,  # (BB2, 1) f32 log scale
+    r_ref,  # (TA2, D+8) bf16 reference rows
+    ls_a_ref,  # (8, TA2) f32, row 0 = log scale
+    tau_ref,  # (1, 1) f32 SMEM: log(scale_ratio)
+    k1_ref, k2_ref, t1_ref, t2_ref,  # (BB2, 1) i32 outs
+):
+    j = pl.program_id(1)
+    imax = jnp.int32(2**31 - 1)
+
+    @pl.when(j == 0)
+    def _():
+        k1_ref[:] = jnp.full_like(k1_ref, imax)
+        k2_ref[:] = jnp.full_like(k2_ref, imax)
+        t1_ref[:] = jnp.zeros_like(t1_ref)
+        t2_ref[:] = jnp.zeros_like(t2_ref)
+
+    d = jax.lax.dot_general(
+        q_ref[:], r_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d = jnp.maximum(d, 0.0)
+    gate = jnp.abs(ls_b_ref[:] - ls_a_ref[0, :][None, :]) <= tau_ref[0, 0]
+
+    bb, ta = d.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bb, ta), 1)
+    key = jnp.where(
+        gate,
+        (jax.lax.bitcast_convert_type(d, jnp.int32) & _KEY_MASK) | cols,
+        imax,
+    )
+    t1 = jnp.min(key, axis=1, keepdims=True)
+    key2 = jnp.where(key == t1, imax, key)
+    t2 = jnp.min(key2, axis=1, keepdims=True)
+
+    k1, k2 = k1_ref[:], k2_ref[:]
+    i1, i2 = t1_ref[:], t2_ref[:]
+    first_new = t1 < k1
+    nk1 = jnp.where(first_new, t1, k1)
+    ni1 = jnp.where(first_new, j, i1)
+    cand_k = jnp.where(first_new, k1, t1)
+    cand_t = jnp.where(first_new, i1, jnp.full_like(i1, j))
+    run_better = t2 < k2
+    run_k = jnp.where(run_better & first_new, t2, k2)
+    run_t = jnp.where(run_better & first_new, j, i2)
+    second_new = cand_k < run_k
+    k1_ref[:] = nk1
+    t1_ref[:] = ni1
+    k2_ref[:] = jnp.where(second_new, cand_k, run_k)
+    t2_ref[:] = jnp.where(second_new, cand_t, run_t)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pallas_top2_v3(q_aug, ls_b, r_aug, ls_a, scale_ratio, interpret=False):
+    """(PB, D+8) augmented queries vs (PA, D+8) augmented references ->
+    (d1, d2, i1, i2) each (PB,).  d1/d2 are key-quantized surrogates that
+    may carry gate penalties — callers MUST re-check the binary gates on
+    the two finalists (matcher._exact_rescore_gated does)."""
+    pb = q_aug.shape[0]
+    pa = r_aug.shape[0]
+    dd = q_aug.shape[1]
+    grid = (pb // _BB2, pa // _TA2)
+
+    ls_a2 = jnp.zeros((8, pa), jnp.float32).at[0].set(ls_a)
+    tau = jnp.log(scale_ratio.reshape(1, 1))
+    row_spec = pl.BlockSpec((_BB2, 1), lambda i, j: (i, 0))
+    k1, k2, t1, t2 = pl.pallas_call(
+        _kernel_v3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BB2, dd), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BB2, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((_TA2, dd), lambda i, j: (j, 0)),
+            pl.BlockSpec((8, _TA2), lambda i, j: (0, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[row_spec, row_spec, row_spec, row_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((pb, 1), jnp.int32),
+            jax.ShapeDtypeStruct((pb, 1), jnp.int32),
+            jax.ShapeDtypeStruct((pb, 1), jnp.int32),
+            jax.ShapeDtypeStruct((pb, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q_aug, ls_b[:, None], r_aug, ls_a2, tau)
+
+    k1, k2, t1, t2 = k1[:, 0], k2[:, 0], t1[:, 0], t2[:, 0]
+    huge = jax.lax.bitcast_convert_type(jnp.float32(1e30), jnp.int32)
+    inf = jnp.float32(np.inf)
+
+    def unpack(k, t):
+        found = k < huge
+        idx = t * _TA2 + (k & (_TA2 - 1))
+        dist = jax.lax.bitcast_convert_type(k & _KEY_MASK, jnp.float32)
+        return jnp.where(found, dist, inf), jnp.where(found, idx, 0)
+
+    d1, i1 = unpack(k1, t1)
+    d2, i2 = unpack(k2, t2)
+    return d1, d2, i1, i2

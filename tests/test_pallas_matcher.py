@@ -161,3 +161,73 @@ def test_pallas_top2_v2_matches_emulation():
     np.testing.assert_allclose(
         d1[sel], want_d1[sel], rtol=2**-12, atol=1e-12
     )
+
+
+@pytest.mark.skipif(not pm.HAVE_PALLAS, reason="pallas unavailable")
+def test_pallas_top2_v3_matches_v2_contract():
+    """v3 (MXU-folded norm/laplacian/validity penalties) + the gated
+    exact rescore must reproduce the v2 + plain rescore acceptance on a
+    realistic planted fixture."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    pb, pa, d = 512, 2048, 48
+    desc_b = rng.normal(size=(pb, d)).astype(np.float32)
+    desc_a = rng.normal(size=(pa, d)).astype(np.float32)
+    desc_b /= np.linalg.norm(desc_b, axis=1, keepdims=True)
+    desc_a /= np.linalg.norm(desc_a, axis=1, keepdims=True)
+    desc_b[:300] = desc_a[:300] + rng.normal(scale=0.02, size=(300, d))
+    lapl_b = rng.choice([-1.0, 1.0], pb).astype(np.float32)
+    lapl_a = rng.choice([-1.0, 1.0], pa).astype(np.float32)
+    lapl_a[:300] = lapl_b[:300]
+    scale_b = rng.uniform(1, 2, pb).astype(np.float32)
+    scale_a = rng.uniform(1, 2, pa).astype(np.float32)
+    scale_a[:300] = scale_b[:300]
+    valid_a = np.ones(pa, bool)
+    valid_a[-100:] = False
+    ratio = np.float32(1.3)
+
+    db, da = jnp.asarray(desc_b), jnp.asarray(desc_a)
+    qb, rb, lsb = pm.prep_aug(
+        jnp.asarray(lapl_b), jnp.asarray(scale_b), jnp.ones(pb, bool), db
+    )
+    qa, ra, lsa = pm.prep_aug(
+        jnp.asarray(lapl_a), jnp.asarray(scale_a), jnp.asarray(valid_a), da
+    )
+    d1, d2, i1, i2 = pm.pallas_top2_v3(
+        qb, lsb, ra, lsa, jnp.asarray([[ratio]], jnp.float32),
+        interpret=True,
+    )
+    from frog_tpu.ops.matcher import _exact_rescore_gated
+
+    e1, e2, best = _exact_rescore_gated(
+        db, jnp.asarray(lapl_b), jnp.asarray(scale_b),
+        da, jnp.asarray(lapl_a), jnp.asarray(scale_a), jnp.asarray(valid_a),
+        i1, i2, d1, d2, jnp.float32(ratio),
+    )
+    e1, e2, best = np.asarray(e1), np.asarray(e2), np.asarray(best)
+
+    # reference: exact masked top-1 in f64-ish numpy
+    dist = (
+        np.sum(desc_b**2, 1)[:, None] + np.sum(desc_a**2, 1)[None, :]
+        - 2.0 * desc_b @ desc_a.T
+    )
+    mask = (lapl_b[:, None] == lapl_a[None, :]) & valid_a[None, :]
+    sr = scale_b[:, None] / scale_a[None, :]
+    mask &= (sr <= ratio) & (sr * ratio >= 1.0)
+    dist = np.where(mask, dist, np.inf)
+    want1 = np.argmin(dist, axis=1)
+    have_any = np.isfinite(dist[np.arange(pb), want1])
+
+    # planted rows (strong matches): winner must agree
+    strong = np.arange(300)
+    agree = (best[strong] == want1[strong]) | ~have_any[strong]
+    assert agree.mean() > 0.99, agree.mean()
+    # rows with no valid candidate must come back inf
+    none = ~have_any
+    assert np.all(np.isinf(e1[none]))
+    # accepted distances are exact f32 recomputations
+    ok = np.isfinite(e1) & (best == want1)
+    np.testing.assert_allclose(
+        e1[ok], dist[np.arange(pb), want1][ok], rtol=1e-5, atol=1e-6
+    )
