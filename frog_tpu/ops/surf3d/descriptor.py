@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["integral_volume", "descriptors", "descriptors_dense", "dense_haar"]
+__all__ = ["integral_volume", "descriptors", "descriptors_dense", "dense_haar", "dense_haar_multi"]
 
 # Subregion sample grid: SAMPLES^3 Haar samples per subregion.
 SAMPLES = 5
@@ -185,6 +185,50 @@ def dense_haar(volume: jax.Array, s: int):
     return dx, dy, dz
 
 
+def dense_haar_multi(volume: jax.Array, sizes: tuple):
+    """dense_haar for MANY half-widths in four batched MXU contractions
+    (band matrices concatenated/batched over sizes — one compact HLO
+    instead of 8 matmuls per size; numerics identical).  Returns
+    (dx, dy, dz) each (S, X, Y, Z) ordered like ``sizes``."""
+    from .detector import band_matrix
+
+    hi = jax.lax.Precision.HIGHEST
+    n0, n1, n2 = volume.shape
+    ns = len(sizes)
+
+    def WF(n, s):
+        return band_matrix(n, [(-s, s - 1, 1)])
+
+    def WP(n, s):
+        return band_matrix(n, [(0, s - 1, 1), (-s, -1, -1)])
+
+    # z level: [WF, WP] per size, one concatenated matrix
+    zmat = jnp.concatenate(
+        [m for s in sizes for m in (WF(n2, s), WP(n2, s))], axis=0)
+    z = jnp.einsum("ij,xyj->xyi", zmat, volume, precision=hi)
+    z = z.reshape(n0, n1, ns, 2, n2)
+    zf = jnp.moveaxis(z[:, :, :, 0], 2, 0)  # (S, X, Y, Z)
+    zp = jnp.moveaxis(z[:, :, :, 1], 2, 0)
+
+    # y level: zf -> [WF (dx), WP (dy)]; zp -> [WF (dz)]
+    y2m = jnp.stack([
+        jnp.concatenate([WF(n1, s), WP(n1, s)], axis=0) for s in sizes])
+    y2 = jnp.einsum("bij,bxjz->bxiz", y2m, zf, precision=hi)
+    y2 = y2.reshape(ns, n0, 2, n1, n2)
+    yf_zf, yp_zf = y2[:, :, 0], y2[:, :, 1]
+    y1m = jnp.stack([WF(n1, s) for s in sizes])
+    yf_zp = jnp.einsum("bij,bxjz->bxiz", y1m, zp, precision=hi)
+
+    # x level: one batched contraction over all 3S branches
+    xin = jnp.concatenate([yf_zf, yp_zf, yf_zp], axis=0)  # (3S, X, Y, Z)
+    xmat = jnp.stack(
+        [WP(n0, s) for s in sizes]
+        + [WF(n0, s) for s in sizes] * 2)
+    out = jnp.einsum("bij,bjyz->biyz", xmat, xin, precision=hi)
+    out = out.reshape(3, ns, n0, n1, n2)
+    return out[0], out[1], out[2]
+
+
 def _sample_offsets():
     """Sample-lattice offsets (M, 3) in sigma units, their Gaussian
     weights (M,), and subregion ids (M,)."""
@@ -259,10 +303,8 @@ def descriptors_dense(
     # whole Haar triple rides a SINGLE gather — TPU gather cost is per
     # index (one tile regardless of row width, see kernels._dst_table),
     # so this is 3x fewer tile fetches than separate dx/dy/dz gathers.
-    stacks = [dense_haar(volume, s) for s in uniq]
-    table = jnp.stack(
-        [jnp.stack([t[0], t[1], t[2]], axis=-1).reshape(-1, 3) for t in stacks]
-    ).astype(dtype).reshape(-1, 3)  # (u * nvox, 3)
+    dxs, dys, dzs = dense_haar_multi(volume, tuple(uniq))  # each (u,X,Y,Z)
+    table = jnp.stack([dxs, dys, dzs], axis=-1).astype(dtype).reshape(-1, 3)
 
     flat_offs, gw, sub = _sample_offsets()
     pos = positions[:, None, :] + sigmas[:, None, None] * flat_offs[None]

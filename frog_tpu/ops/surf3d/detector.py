@@ -155,28 +155,111 @@ def scale_stack_sizes(n_octaves: int = 3):
     return sizes
 
 
+def _lobe_segments(m: int):
+    """Per-axis band segments for lobe width m: transverse box, second
+    derivative, quadrant difference (see hessian_response)."""
+    hm, hw, h = m // 2, m - 1, (m + 1) // 2
+    return {
+        "BOX": [(-hw, hw, 1)],
+        "S2": [(-m - hm, -m + hm, 1), (-hm, hm, -2), (m - hm, m + hm, 1)],
+        "QD": [(-h - hm, -h + hm, 1), (h - hm, h + hm, -1)],
+    }
+
+
 @partial(jax.jit, static_argnames=("lobes",))
 def detect(volume: jax.Array, lobes: tuple):
     """Dense detector responses for every lobe width.
 
     Returns (responses (S, X, Y, Z), laplacian_signs (S, X, Y, Z)).
-    """
-    dets = []
-    laps = []
-    shape = volume.shape
-    for m in lobes:
-        d, l = hessian_response(volume, m)
-        # Zero the border band where the (3m)-wide filter hangs off the
-        # volume — the zero-padded box sums there produce huge spurious
-        # responses on any non-zero background.
-        b = (3 * m) // 2 + 1
-        for ax in range(3):
-            n = shape[ax]
-            idx = jax.lax.broadcasted_iota(jnp.int32, d.shape, ax)
-            d = jnp.where((idx >= min(b, n)) & (idx < max(n - b, 0)), d, 0.0)
-        dets.append(d)
-        laps.append(l)
-    return jnp.stack(dets), jnp.stack(laps)
+
+    The whole scale stack runs as FIVE batched MXU contractions (one
+    z-level with all lobes' band matrices concatenated, three y-level
+    groups batched over lobes, one x-level batched over all 6L channel
+    branches) — per-lobe matmul chains compile into huge HLO through
+    this backend's remote compile service and leave MXU idle gaps
+    between small ops.  Numerics identical to hessian_response per lobe
+    (same matrices, same contraction order)."""
+    hi = jax.lax.Precision.HIGHEST
+    n0, n1, n2 = volume.shape
+    nl = len(lobes)
+
+    # ---- z level: one (3L*n2, n2) concatenated band matrix
+    zmat = jnp.concatenate(
+        [band_matrix(n2, _lobe_segments(m)[t])
+         for m in lobes for t in ("BOX", "S2", "QD")], axis=0)
+    z = jnp.einsum("ij,xyj->xyi", zmat, volume, precision=hi)
+    z = z.reshape(n0, n1, nl, 3, n2)
+    zb = jnp.moveaxis(z[:, :, :, 0], 2, 0)  # (L, X, Y, Z) transverse box
+    zs = jnp.moveaxis(z[:, :, :, 1], 2, 0)  # second derivative along z
+    zq = jnp.moveaxis(z[:, :, :, 2], 2, 0)  # quadrant diff along z
+
+    # ---- y level: batched over lobes, grouped by needed op count
+    def ymats(types):
+        return jnp.stack([
+            jnp.concatenate(
+                [band_matrix(n1, _lobe_segments(m)[t]) for t in types], axis=0)
+            for m in lobes
+        ])
+
+    y3 = jnp.einsum("bij,bxjz->bxiz", ymats(("BOX", "S2", "QD")), zb,
+                    precision=hi).reshape(nl, n0, 3, n1, n2)
+    yb_zb, ys_zb, yq_zb = y3[:, :, 0], y3[:, :, 1], y3[:, :, 2]
+    y2 = jnp.einsum("bij,bxjz->bxiz", ymats(("BOX", "QD")), zq,
+                    precision=hi).reshape(nl, n0, 2, n1, n2)
+    yb_zq, yq_zq = y2[:, :, 0], y2[:, :, 1]
+    yb_zs = jnp.einsum("bij,bxjz->bxiz", ymats(("BOX",)), zs, precision=hi)
+
+    # ---- x level: one batched contraction over all 6L channel branches
+    #   dxx = S2_x(yb_zb)   dyy = BOX_x(ys_zb)  dzz = BOX_x(yb_zs)
+    #   dxy = QD_x(yq_zb)   dxz = QD_x(yb_zq)   dyz = BOX_x(yq_zq)
+    branches = [
+        ("S2", yb_zb), ("BOX", ys_zb), ("BOX", yb_zs),
+        ("QD", yq_zb), ("QD", yb_zq), ("BOX", yq_zq),
+    ]
+    xin = jnp.concatenate([v for _, v in branches], axis=0)  # (6L, X, Y, Z)
+    xmat = jnp.stack([
+        band_matrix(n0, _lobe_segments(m)[t])
+        for t, _ in branches for m in lobes
+    ])
+    out = jnp.einsum("bij,bjyz->biyz", xmat, xin, precision=hi)
+    out = out.reshape(6, nl, n0, n1, n2)
+
+    norm = jnp.asarray(
+        [1.0 / (3 * m) ** 3 for m in lobes], jnp.float32
+    )[:, None, None, None]
+    dxx = out[0] * norm
+    dyy = out[1] * norm
+    dzz = out[2] * norm
+    # 0.9: Bay et al.'s box-filter/Gaussian compensation on cross terms
+    dxy = out[3] * (norm * 0.9)
+    dxz = out[4] * (norm * 0.9)
+    dyz = out[5] * (norm * 0.9)
+
+    det = (
+        dxx * dyy * dzz
+        + 2.0 * dxy * dxz * dyz
+        - dxx * dyz * dyz
+        - dyy * dxz * dxz
+        - dzz * dxy * dxy
+    )
+    minor2 = dxx * dyy - dxy * dxy
+    blob = (minor2 > 0) & (det * dxx > 0)
+    resp = jnp.where(blob, jnp.abs(det), 0.0)
+    laps = jnp.sign(dxx + dyy + dzz)
+
+    # Zero the border band where the (3m)-wide filter hangs off the
+    # volume — the zero-padded box sums there produce huge spurious
+    # responses on any non-zero background (and the band-matrix border
+    # semantics differ from shifted-truncated boxes only inside it).
+    bvec = jnp.asarray([(3 * m) // 2 + 1 for m in lobes], jnp.int32)
+    bvec = bvec[:, None, None, None]
+    inside = jnp.ones((1, 1, 1, 1), bool)
+    for ax, n in ((1, n0), (2, n1), (3, n2)):
+        idx = jax.lax.broadcasted_iota(jnp.int32, resp.shape, ax)
+        inside = inside & (idx >= jnp.minimum(bvec, n)) & (
+            idx < jnp.maximum(n - bvec, 0))
+    resp = jnp.where(inside, resp, 0.0)
+    return resp, laps
 
 
 def non_max_mask(responses: jax.Array, threshold: float):
