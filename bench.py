@@ -124,7 +124,7 @@ def run_tpu(volumes):
     t0 = time.time()
     kp_files = extract_stage(volumes, surf, out_dir, verbose=False)
     t_extract_cold = time.time() - t0
-    n_warm = min(3, len(volumes))
+    n_warm = min(6, len(volumes))  # enough volumes to amortize pipeline fill
     warm_dir = os.path.join(WORKDIR, "tpu_warm")
     os.makedirs(warm_dir, exist_ok=True)
     t0 = time.time()
