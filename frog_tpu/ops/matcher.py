@@ -531,9 +531,9 @@ def _match_pairs_mesh(stacked, keypoints, pairs, params, mesh, use_pallas,
     accumulator (chunk-flattened accept bits + winner indices)."""
     from jax.sharding import PartitionSpec as P
     try:
+        from jax import shard_map
+    except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
-    except ImportError:  # newer jax
-        from jax.sharding import shard_map
 
     axis = mesh.axis_names[0]
     d = mesh.devices.size
@@ -594,7 +594,7 @@ def _match_pairs_mesh(stacked, keypoints, pairs, params, mesh, use_pallas,
         mesh=mesh,
         in_specs=(P(axis), P(axis)) + (P(),) * len(reps),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     bits, idxn = fn(jnp.asarray(ia), jnp.asarray(ib), *reps)
     acc_all = np.unpackbits(
