@@ -27,14 +27,21 @@ def _load():
     if not os.path.exists(so) or (
         os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
     ):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src, "-lz"],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
+        built = False
+        for extra in (["-DHAVE_LIBDEFLATE", "-ldeflate"], []):
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", so, src]
+                    + extra + ["-lz"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                built = True
+                break
+            except Exception:
+                continue
+        if not built:
             return None
     try:
         lib = ctypes.CDLL(so)

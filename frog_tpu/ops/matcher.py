@@ -376,7 +376,28 @@ def _pallas_chunk_top2(q_b, ls_b, r_a, ls_a, scale_ratio):
     )(q_b, ls_b, r_a, ls_a)
 
 
-def _match_pairs_batched(keypoints, pairs, params, positions, mesh=None):
+def stage_keypoints_device(kp, pad):
+    """Host-pad ONE image's matcher fields and start their device upload.
+
+    Called from the reader thread pool (pipeline.match_stage) as soon as a
+    keypoint file is read and pruned, so the ~90 MB of host->device
+    transfers overlap the remaining file reads instead of serializing
+    after them.  ``pad`` must be a _TILE multiple >= the point count — the
+    caller predicts it from the extraction budget (same prediction as
+    warm_matcher, so the compiled shapes match)."""
+    return {
+        "desc": jnp.asarray(_pad_to(kp.desc.astype(np.float32), pad)),
+        "lapl": jnp.asarray(_pad_to(kp.laplacian.astype(np.float32), pad)),
+        "scale": jnp.asarray(
+            _pad_to(kp.scale.astype(np.float32), pad, fill=1.0)
+        ),
+        "pos": jnp.asarray(_pad_to(kp.xyz.astype(np.float32), pad)),
+        "valid": jnp.asarray(np.arange(pad) < len(kp)),
+    }
+
+
+def _match_pairs_batched(keypoints, pairs, params, positions, mesh=None,
+                         staged=None):
     """Evaluate many (A, B) pairs per device dispatch: all images are
     padded to one common point count and the top-2 kernel is vmapped over
     a chunk of pairs — amortizing dispatch/sync cost, which dominates on
@@ -394,40 +415,59 @@ def _match_pairs_batched(keypoints, pairs, params, positions, mesh=None):
     multi-process setup.
     """
     n_max = max(len(kp) for kp in keypoints)
-    pad = max(_TILE, ((n_max + _TILE - 1) // _TILE) * _TILE)
-    # Stack on the host and ship ONE buffer per field (a handful of large
-    # transfers instead of 5 x N small ones + an on-device stack).
-    if positions:
-        pos_src = [
-            positions[i] if positions[i] is not None else kp.xyz
-            for i, kp in enumerate(keypoints)
-        ]
+    if (
+        staged is not None
+        and positions is None
+        and all(s is not None for s in staged)
+        and staged[0]["desc"].shape[0] >= n_max
+    ):
+        # per-image fields already uploaded from the reader threads
+        # (stage_keypoints_device): finish with one on-device stack each
+        pad = staged[0]["desc"].shape[0]
+        stacked = {
+            k: jnp.stack([s[k] for s in staged])
+            for k in ("desc", "lapl", "scale", "pos", "valid")
+        }
     else:
-        pos_src = [kp.xyz for kp in keypoints]
-    stacked = {
-        "desc": jnp.asarray(
-            np.stack([_pad_to(kp.desc.astype(np.float32), pad) for kp in keypoints])
-        ),
-        "lapl": jnp.asarray(
-            np.stack(
-                [_pad_to(kp.laplacian.astype(np.float32), pad) for kp in keypoints]
-            )
-        ),
-        "scale": jnp.asarray(
-            np.stack(
-                [
-                    _pad_to(kp.scale.astype(np.float32), pad, fill=1.0)
-                    for kp in keypoints
-                ]
-            )
-        ),
-        "pos": jnp.asarray(
-            np.stack([_pad_to(p.astype(np.float32), pad) for p in pos_src])
-        ),
-        "valid": jnp.asarray(
-            np.stack([np.arange(pad) < len(kp) for kp in keypoints])
-        ),
-    }
+        pad = max(_TILE, ((n_max + _TILE - 1) // _TILE) * _TILE)
+        # Stack on the host and ship ONE buffer per field (a handful of
+        # large transfers instead of 5 x N small ones + an on-device stack).
+        if positions:
+            pos_src = [
+                positions[i] if positions[i] is not None else kp.xyz
+                for i, kp in enumerate(keypoints)
+            ]
+        else:
+            pos_src = [kp.xyz for kp in keypoints]
+        stacked = {
+            "desc": jnp.asarray(
+                np.stack(
+                    [_pad_to(kp.desc.astype(np.float32), pad) for kp in keypoints]
+                )
+            ),
+            "lapl": jnp.asarray(
+                np.stack(
+                    [
+                        _pad_to(kp.laplacian.astype(np.float32), pad)
+                        for kp in keypoints
+                    ]
+                )
+            ),
+            "scale": jnp.asarray(
+                np.stack(
+                    [
+                        _pad_to(kp.scale.astype(np.float32), pad, fill=1.0)
+                        for kp in keypoints
+                    ]
+                )
+            ),
+            "pos": jnp.asarray(
+                np.stack([_pad_to(p.astype(np.float32), pad) for p in pos_src])
+            ),
+            "valid": jnp.asarray(
+                np.stack([np.arange(pad) < len(kp) for kp in keypoints])
+            ),
+        }
     use_pallas = (
         params.fast and params.anat_distance == 0 and _pallas_available()
     )
@@ -658,6 +698,7 @@ def match_graph(
     pairs: list | None = None,
     progress: bool = False,
     mesh=None,
+    staged=None,
 ) -> PairGraph:
     """Build the full match graph over a list of Keypoints.
 
@@ -693,11 +734,11 @@ def match_graph(
                 print(f"pair ({i},{j}): {m.shape[0]} matches")
     else:
         fwd = _match_pairs_batched(keypoints, pairs, params, positions,
-                                   mesh=mesh)
+                                   mesh=mesh, staged=staged)
         rev = (
             _match_pairs_batched(
                 keypoints, [(j, i) for i, j in pairs], params, positions,
-                mesh=mesh,
+                mesh=mesh, staged=staged,
             )
             if params.symmetric
             else {}

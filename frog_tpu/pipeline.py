@@ -242,16 +242,23 @@ def match_stage(
         if verbose:
             print(f"{out_file} exists, skipping matching")
         return read_pairs(out_file)
-    kps = []
     positions = None
-    # parallel reads: the native gzip/CSV codec releases the GIL, so a
-    # small pool cuts the 20-file load ~3x on this 2-core host
+    # Parallel reads (the native gzip/CSV codec releases the GIL, so a
+    # small pool cuts the 20-file load ~3x on this 2-core host), with
+    # pruning in the reader threads.  When the point budget is known
+    # (-n, the reference's standard flow) each image's matcher fields are
+    # ALSO staged to the device right away — the ~90 MB of uploads then
+    # overlap the remaining reads instead of serializing after them.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as rpool:
-        raw_kps = list(rpool.map(read_keypoints, keypoint_files))
-    for idx, f in enumerate(keypoint_files):
-        kp = raw_kps[idx]
+    from .ops.matcher import _TILE, stage_keypoints_device
+
+    pad_hint = None
+    if n_points is not None and not transform_prefix:
+        pad_hint = max(_TILE, -(-n_points // _TILE) * _TILE)
+
+    def _load_one(idx):
+        kp = read_keypoints(keypoint_files[idx])
         if zmin > -1e19 or zmax < 1e19:
             zt = float(rigids[idx][2]) if rigids is not None else 0.0
             z = kp.xyz[:, 2] + zt
@@ -259,12 +266,35 @@ def match_stage(
             kp = kp.select(np.flatnonzero(keep))
         if n_points is not None or min_response > 0:
             kp = kp.top_by_response(n_points or len(kp), min_response)
-        if write_points:
+        # without an explicit budget, round this image's own count up to
+        # a tile: uniform point counts (the standard pipeline) then agree
+        # on one pad and staging engages; ragged counts fall back
+        pad = pad_hint
+        if pad is None and not transform_prefix:
+            pad = max(_TILE, -(-len(kp) // _TILE) * _TILE)
+        rows = (
+            stage_keypoints_device(kp, pad)
+            if pad and len(kp) <= pad
+            else None
+        )
+        return kp, rows
+
+    with ThreadPoolExecutor(max_workers=4) as rpool:
+        loaded = list(rpool.map(_load_one, range(len(keypoint_files))))
+    kps = [kp for kp, _ in loaded]
+    staged = [rows for _, rows in loaded]
+    if (
+        not staged
+        or any(r is None for r in staged)
+        or len({r["desc"].shape[0] for r in staged}) > 1
+    ):
+        staged = None
+    if write_points:
+        for idx, kp in enumerate(kps):
             out = f"points{idx}.csv"
             write_keypoints(out, kp)
             if verbose:
                 print(f" writing {out}")
-        kps.append(kp)
     if transform_prefix:
         # -transformPrefix: pre-transform positions for the -anat gate
         # (match.cpp:516-525)
@@ -283,6 +313,7 @@ def match_stage(
     graph = match_graph(
         kps, params, names=names, target=target, positions=positions,
         ref_translations=rigids, pairs=pairs, progress=verbose, mesh=mesh,
+        staged=staged,
     )
     if out_file:
         write_pairs(out_file, graph)

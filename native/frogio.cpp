@@ -2,12 +2,13 @@
 //
 // The reference framework's IO (keypoint csv.gz parsing/writing,
 // match/match.cpp:51-208, boost gzip streams) is C++; this library is its
-// counterpart here: fast float-CSV parsing and formatting with zlib gzip,
+// counterpart here: fast float-CSV parsing and formatting with gzip,
 // exposed as a small C ABI consumed through ctypes
 // (frog_tpu/io/native.py).  Python falls back to pandas/numpy when the
 // shared object is unavailable.
 //
-// Build: g++ -O3 -shared -fPIC -o libfrogio.so frogio.cpp -lz
+// Build: g++ -O3 -shared -fPIC -o libfrogio.so frogio.cpp -ldeflate -lz
+//        (or without -ldeflate/-DHAVE_LIBDEFLATE: zlib-only fallback)
 
 #include <cstdint>
 #include <cstdio>
@@ -16,44 +17,159 @@
 #include <string>
 #include <vector>
 #include <zlib.h>
+#ifdef HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 extern "C" {
 
-// Read a whole file, gunzipping if it ends in .gz.  Returns a malloc'd
-// buffer (caller frees via frogio_free) and sets *size.
-static char* read_all(const char* path, size_t* size) {
-    size_t len = strlen(path);
-    bool gz = len > 3 && strcmp(path + len - 3, ".gz") == 0;
-    if (gz) {
-        gzFile f = gzopen(path, "rb");
-        if (!f) return nullptr;
-        size_t cap = 1 << 20, used = 0;
-        char* buf = (char*)malloc(cap);
-        int n;
-        while ((n = gzread(f, buf + used, cap - used)) > 0) {
-            used += n;
-            if (used == cap) {
-                cap *= 2;
-                buf = (char*)realloc(buf, cap);
-            }
-        }
-        gzclose(f);
-        *size = used;
-        return buf;
-    }
+static char* read_raw(const char* path, size_t* size) {
     FILE* f = fopen(path, "rb");
     if (!f) return nullptr;
     fseek(f, 0, SEEK_END);
     long n = ftell(f);
     fseek(f, 0, SEEK_SET);
-    char* buf = (char*)malloc(n);
+    char* buf = (char*)malloc(n > 0 ? n : 1);
     if (fread(buf, 1, n, f) != (size_t)n) { fclose(f); free(buf); return nullptr; }
     fclose(f);
-    *size = n;
+    *size = (size_t)n;
+    return buf;
+}
+
+// Read a whole file, gunzipping if it ends in .gz.  Returns a malloc'd
+// buffer (caller frees via frogio_free) and sets *size.  The gunzip path
+// prefers libdeflate (~3x zlib's inflate on these payloads) and falls
+// back to zlib's streaming gzread on any failure (multi-member archives,
+// truncation, allocation pressure).
+static char* read_all(const char* path, size_t* size) {
+    size_t len = strlen(path);
+    bool gz = len > 3 && strcmp(path + len - 3, ".gz") == 0;
+    if (!gz) return read_raw(path, size);
+#ifdef HAVE_LIBDEFLATE
+    {
+        size_t in_size = 0;
+        char* in = read_raw(path, &in_size);
+        if (in && in_size >= 18) {
+            struct libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+            size_t cap = in_size * 6 + (1 << 20);
+            char* out = (char*)malloc(cap);
+            size_t used = 0, consumed_total = 0;
+            bool ok = d && out;
+            while (ok && consumed_total < in_size) {
+                size_t actual_out = 0, actual_in = 0;
+                enum libdeflate_result r = libdeflate_gzip_decompress_ex(
+                    d, in + consumed_total, in_size - consumed_total,
+                    out + used, cap - used, &actual_in, &actual_out);
+                if (r == LIBDEFLATE_INSUFFICIENT_SPACE) {
+                    cap *= 2;
+                    char* grown = (char*)realloc(out, cap);
+                    if (!grown) { ok = false; break; }
+                    out = grown;
+                    continue;
+                }
+                if (r != LIBDEFLATE_SUCCESS) { ok = false; break; }
+                used += actual_out;
+                consumed_total += actual_in;
+                if (actual_in == 0) break;  // safety: no progress
+            }
+            if (d) libdeflate_free_decompressor(d);
+            if (ok) {
+                free(in);
+                *size = used;
+                return out;
+            }
+            free(out);
+        }
+        free(in);
+        // fall through to zlib
+    }
+#endif
+    gzFile f = gzopen(path, "rb");
+    if (!f) return nullptr;
+    size_t cap = 1 << 20, used = 0;
+    char* buf = (char*)malloc(cap);
+    int n;
+    while ((n = gzread(f, buf + used, cap - used)) > 0) {
+        used += n;
+        if (used == cap) {
+            cap *= 2;
+            buf = (char*)realloc(buf, cap);
+        }
+    }
+    gzclose(f);
+    *size = used;
     return buf;
 }
 
 void frogio_free(void* p) { free(p); }
+
+static const double kPow10[23] = {
+    1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,  1e8,  1e9,  1e10,
+    1e11, 1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22,
+};
+
+// Fast decimal float parse.  The fast path accumulates up to 15
+// significant digits into a uint64 (exact) and applies one double
+// multiply/divide by an exactly-representable power of ten — one
+// correctly-rounded double operation, and double->float double rounding
+// is innocuous at 53 >= 2*24+2 bits, so the result is bit-identical to a
+// correctly-rounding strtof.  Anything outside that envelope (16+ digits,
+// |decimal exponent| > 22, inf/nan spellings) falls back to strtof.
+// Returns the end pointer, or nullptr when nothing numeric starts at p.
+static inline const char* parse_float(const char* p, const char* end,
+                                      float* outv) {
+    const char* s = p;
+    bool neg = false;
+    if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); p++; }
+    uint64_t mant = 0;
+    int digits = 0, dexp = 0;
+    bool any = false;
+    while (p < end && *p >= '0' && *p <= '9') {
+        if (digits < 19) { mant = mant * 10 + (uint64_t)(*p - '0'); digits++; }
+        else dexp++;
+        any = true;
+        p++;
+    }
+    if (p < end && *p == '.') {
+        p++;
+        while (p < end && *p >= '0' && *p <= '9') {
+            if (digits < 19) {
+                mant = mant * 10 + (uint64_t)(*p - '0');
+                digits++;
+                dexp--;
+            }
+            any = true;
+            p++;
+        }
+    }
+    if (any && p < end && (*p == 'e' || *p == 'E')) {
+        const char* ep = p + 1;
+        bool eneg = false;
+        if (ep < end && (*ep == '-' || *ep == '+')) { eneg = (*ep == '-'); ep++; }
+        int ev = 0;
+        bool ed = false;
+        while (ep < end && *ep >= '0' && *ep <= '9' && ev < 10000) {
+            ev = ev * 10 + (*ep - '0');
+            ed = true;
+            ep++;
+        }
+        if (ed) {
+            dexp += eneg ? -ev : ev;
+            p = ep;
+        }
+    }
+    if (any && digits <= 15 && dexp >= -22 && dexp <= 22) {
+        double d = (double)mant;
+        d = dexp >= 0 ? d * kPow10[dexp] : d / kPow10[-dexp];
+        *outv = (float)(neg ? -d : d);
+        return p;
+    }
+    char* next;
+    float v = strtof(s, &next);
+    if (next == s) return nullptr;
+    *outv = v;
+    return next;
+}
 
 // Parse comma/newline separated floats into out (row-major, `cols` per
 // row).  Returns number of complete rows parsed, or -1 on IO error.
@@ -66,23 +182,20 @@ int frogio_read_csv(const char* path, float* out, int max_rows, int cols) {
     int rows = 0;
     const char* p = buf;
     const char* end = buf + size;
-    std::vector<float> row(cols);
     while (p < end && rows < max_rows) {
+        float* row = out + (size_t)rows * cols;
         int c = 0;
         while (p < end && *p != '\n') {
-            char* next;
-            float v = strtof(p, &next);
-            if (next == p) { p++; continue; }
+            float v;
+            const char* next = parse_float(p, end, &v);
+            if (!next) { p++; continue; }
             if (c < cols) row[c] = v;
             c++;
             p = next;
             while (p < end && (*p == ',' || *p == '\r' || *p == ' ')) p++;
         }
         if (p < end) p++;  // skip newline
-        if (c >= cols) {
-            memcpy(out + (size_t)rows * cols, row.data(), cols * sizeof(float));
-            rows++;
-        }
+        if (c >= cols) rows++;  // else: next row overwrites the partial
     }
     free(buf);
     return rows;
