@@ -395,18 +395,24 @@ class GroupRegistration:
     def _refresh_report(self):
         """One dispatch + ONE device->host transfer for everything the
         host needs between stages: movable/global bounding boxes, inlier
-        census, EM parameters, distance histograms."""
+        census, EM parameters, distance histograms.  The fused stage
+        scans return this same vector with their measures (ONE readback),
+        so an explicit dispatch is only needed when the state changed
+        outside a stage (RANSAC, resume, standalone queries)."""
         cfg = self.config
-        n = self.arrays.n_images
-        b = cfg.histogram_bins
         vec = np.asarray(
             _jit_state_report(
                 self.arrays,
                 self.movable,
                 jnp.float32(cfg.inlier_threshold),
-                b,
+                cfg.histogram_bins,
             )
         )
+        return self._parse_report(vec)
+
+    def _parse_report(self, vec):
+        n = self.arrays.n_images
+        b = self.config.histogram_bins
         census = vec[12 : 12 + 3 * n].reshape(n, 3)
         em = vec[12 + 3 * n : 12 + 6 * n].reshape(n, 3)
         hist = vec[12 + 6 * n :].reshape(n, b)
@@ -516,6 +522,7 @@ class GroupRegistration:
                 cfg.use_scale, cfg.linear_iterations, jnp.int32(0),
                 jnp.int32(0), cfg.stat_interval, cfg.em_max_iterations,
                 cfg.em_epsilon, self._em_stride(), lm, self._em_reservoir(),
+                cfg.inlier_threshold, cfg.histogram_bins,
             )
         aot.warm(
             _jit_state_report,
@@ -557,7 +564,7 @@ class GroupRegistration:
                 jnp.int32(0), jnp.int32(0), cfg.stat_interval,
                 cfg.em_max_iterations, cfg.em_epsilon, self._em_stride(),
                 lm, self._em_reservoir(), self.n_real,
-                self.meta.has_constraints,
+                self.meta.has_constraints, cfg.histogram_bins,
             )
 
         for level in range(cfg.deformable_levels):
@@ -595,7 +602,7 @@ class GroupRegistration:
         total = cfg.linear_iterations
         if it0 >= total:
             return
-        affine, xyz2, em, measures = _jit_linear_stage(
+        affine, xyz2, em, packed = _jit_linear_stage(
             self.arrays,
             self.movable,
             jnp.float32(cfg.linear_alpha),
@@ -609,11 +616,15 @@ class GroupRegistration:
             self._em_stride(),
             self._lm_device,
             self._em_reservoir(),
+            cfg.inlier_threshold,
+            cfg.histogram_bins,
         )
         self.arrays = dataclasses.replace(
             self.arrays, affine=affine, xyz2=xyz2, em=em
         )
-        self._record_chunk(measures)
+        vec = np.asarray(packed)
+        self._record_chunk(vec[: total * 5].reshape(total, 5))
+        self._parse_report(vec[total * 5:])
         self._display_debug()
         self._maybe_checkpoint("linear", it=total)
 
@@ -625,7 +636,8 @@ class GroupRegistration:
             self.chains[i] = TransformChain(
                 transforms=(Affine(matrix=self.arrays.affine[i]),)
             )
-        self._refresh_report()
+        if self._last_report is None:  # RANSAC path: no fused report yet
+            self._refresh_report()
         self.linear_histograms = self._last_report["hist"]
 
     def _run_deformable(self):
@@ -718,7 +730,7 @@ class GroupRegistration:
             # trip short-circuits the rest of the scan, and the relaunch
             # with a fresh grid reuses the same executable (static n_steps,
             # dynamic it0/n_live).
-            new_coeffs, xyz2, em, measures = _jit_deformable_stage(
+            new_coeffs, xyz2, em, packed = _jit_deformable_stage(
                 self.arrays,
                 self.movable,
                 coeffs,
@@ -740,8 +752,11 @@ class GroupRegistration:
                 self._em_reservoir(),
                 self.n_real,
                 self.meta.has_constraints,
+                cfg.histogram_bins,
             )
-            n_done = self._record_chunk(measures)
+            vec = np.asarray(packed)
+            n_done = self._record_chunk(vec[: total * 5].reshape(total, 5))
+            self._parse_report(vec[total * 5:])
             self._display_debug()
             coeffs = new_coeffs
             self.arrays = dataclasses.replace(self.arrays, xyz2=xyz2, em=em)
@@ -781,7 +796,6 @@ class GroupRegistration:
 
         self._freeze_grid(coeffs, origin, spacing)
         self._bake_bspline(coeffs, basis)
-        self._refresh_report()
         if self.config.verbose:
             print(f"Number of grids for this level: {n_grids}")
         self._last_level_geometry = (dims, origin, spacing)
@@ -845,6 +859,7 @@ _jit_census = jax.jit(kernels.inlier_census)
         "em_stride",
         "lm_n",
         "em_reservoir",
+        "report_bins",
     ),
 )
 def _jit_linear_stage_impl(
@@ -863,6 +878,8 @@ def _jit_linear_stage_impl(
     lm_seg,
     lm_n,
     em_reservoir,
+    inlier_threshold,
+    report_bins,
 ):
     lm = None if lm_flat is None else (lm_flat, lm_seg, lm_n)
     return kernels.linear_stage(
@@ -879,6 +896,8 @@ def _jit_linear_stage_impl(
         em_stride,
         lm,
         em_reservoir,
+        inlier_threshold,
+        report_bins,
     )
 
 
@@ -896,6 +915,8 @@ def _jit_linear_stage(
     em_stride,
     lm,
     em_reservoir=0,
+    inlier_threshold=0.5,
+    report_bins=0,
 ):
     lm_flat, lm_seg, lm_n = (None, None, 0) if lm is None else lm
     return _jit_linear_stage_impl(
@@ -914,6 +935,8 @@ def _jit_linear_stage(
         lm_seg,
         lm_n,
         em_reservoir,
+        jnp.float32(inlier_threshold),
+        report_bins,
     )
 
 
@@ -931,6 +954,7 @@ def _jit_linear_stage(
         "em_reservoir",
         "n_real",
         "has_constraints",
+        "report_bins",
     ),
 )
 def _jit_deformable_stage_impl(
@@ -957,6 +981,7 @@ def _jit_deformable_stage_impl(
     em_reservoir,
     n_real,
     has_constraints,
+    report_bins,
 ):
     lm = None if lm_flat is None else (lm_flat, lm_seg, lm_n)
     return kernels.deformable_stage(
@@ -981,6 +1006,7 @@ def _jit_deformable_stage_impl(
         em_reservoir,
         n_real,
         has_constraints,
+        report_bins,
     )
 
 
@@ -1006,6 +1032,7 @@ def _jit_deformable_stage(
     em_reservoir=0,
     n_real=None,
     has_constraints=True,
+    report_bins=0,
 ):
     lm_flat, lm_seg, lm_n = (None, None, 0) if lm is None else lm
     return _jit_deformable_stage_impl(
@@ -1032,6 +1059,7 @@ def _jit_deformable_stage(
         em_reservoir,
         n_real,
         has_constraints,
+        report_bins,
     )
 
 

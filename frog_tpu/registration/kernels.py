@@ -511,6 +511,8 @@ def linear_stage(
     em_stride,
     lm=None,
     em_reservoir=0,
+    inlier_threshold=0.5,
+    report_bins=0,
 ):
     """Run a whole linear stage (``n_steps`` iterations) in ONE dispatch.
 
@@ -524,8 +526,15 @@ def linear_stage(
     nested — XLA hoists nested conditionals and would run the EM body
     (gather included) every step (see module docstring).
 
-    Returns (affine, xyz2, em, measures (K, 5)) with measure rows
-    [E, ok, lm_mean, lm_max, lm_std]; ok marks live steps (prefix-true).
+    Returns (affine, xyz2, em, packed): with ``report_bins`` 0, packed is
+    the per-iteration measures (K, 5) with rows
+    [E, ok, lm_mean, lm_max, lm_std] (ok marks live steps, prefix-true);
+    with ``report_bins`` > 0 the stage ALSO evaluates ``state_report`` on
+    its final state (post-bake semantics: xyz := xyz2) and packed is the
+    flat concat [measures.ravel(), report] — one dispatch and one
+    device->host transfer cover the stage AND the between-stage report
+    the host needs next (each sync costs a network RTT on a
+    remote-attached TPU).
     """
     zero3 = jnp.zeros(3)
 
@@ -565,6 +574,10 @@ def linear_stage(
         (arrays.affine, arrays.xyz2, arrays.em),
         jnp.arange(n_steps, dtype=jnp.int32),
     )
+    if report_bins:
+        a_fin = _dc.replace(arrays, xyz=xyz2, xyz2=xyz2, em=em)
+        rep = state_report(a_fin, movable, inlier_threshold, report_bins)
+        return affine, xyz2, em, jnp.concatenate([measures.reshape(-1), rep])
     return affine, xyz2, em, measures
 
 
@@ -590,11 +603,14 @@ def deformable_stage(
     em_reservoir=0,
     n_real=None,
     has_constraints=True,
+    report_bins=0,
 ):
     """Run up to a whole deformable level (``n_steps`` iterations) in ONE
     dispatch, EM included (see linear_stage; same sibling-cond structure).
 
-    Returns (coeffs, xyz2, em, measures (K, 5)) with measure rows
+    Returns (coeffs, xyz2, em, packed) — packed as in linear_stage:
+    measures (K, 5), or [measures.ravel(), state_report] when
+    ``report_bins`` > 0.  Measure rows are
     [E, ok, lm_mean, lm_max, lm_std].  ok[i] False means iteration i
     tripped the diffeomorphism guard (or lies at/past ``n_live``); state
     reflects everything before the trip (the reject discards its update,
@@ -656,6 +672,10 @@ def deformable_stage(
         (coeffs, arrays.xyz2, arrays.em, jnp.bool_(False)),
         jnp.arange(n_steps, dtype=jnp.int32),
     )
+    if report_bins:
+        a_fin = _dc.replace(arrays, xyz=xyz2, xyz2=xyz2, em=em)
+        rep = state_report(a_fin, movable, inlier_threshold, report_bins)
+        return coeffs, xyz2, em, jnp.concatenate([measures.reshape(-1), rep])
     return coeffs, xyz2, em, measures
 
 

@@ -108,6 +108,13 @@ class GroupMeta:
     row_src: np.ndarray | None = None
 
 
+@jax.jit
+def _jit_decode_links(enc):
+    """Split the wire-encoded link table (valid -> dst + 1, invalid -> 0)
+    back into (link_dst, link_valid) on device."""
+    return jnp.maximum(enc - 1, 0), enc > 0
+
+
 def _pack_table(per_image_links: list, n: int, p_pad: int, k_multiple: int = 8):
     """Pack per-image (src, dst_flat) link lists into a (N, P, K) table."""
     counts = np.zeros((n, p_pad), np.int64)
@@ -200,17 +207,21 @@ def build_group_state(
     counts = [None] * n
     for i in range(n):
         if half_src[i]:
-            src = np.concatenate(half_src[i]).astype(np.int64)
-            di = np.concatenate(half_di[i]).astype(np.int64)
-            dp = np.concatenate(half_dp[i]).astype(np.int64)
+            src = np.concatenate(half_src[i]).astype(np.int32)
+            di = np.concatenate(half_di[i]).astype(np.int32)
+            dp = np.concatenate(half_dp[i]).astype(np.int32)
             order = np.argsort(src, kind="stable")
             src, di, dp = src[order], di[order], dp[order]
-            # slot within the point's row = rank among equal srcs
-            slot = np.arange(src.shape[0]) - np.searchsorted(src, src, side="left")
+            # slot within the point's row = rank among equal srcs; the
+            # row-start table comes from one bincount (cheaper than a
+            # 300k-element searchsorted)
+            cnt = np.bincount(src, minlength=int(n_points[i]))
+            starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            slot = np.arange(src.shape[0]) - starts[src]
             packed.append((src, di, dp, slot))
             if src.shape[0]:
                 k_max = max(k_max, int(slot.max()) + 1)
-                counts[i] = np.bincount(src, minlength=int(n_points[i]))
+                counts[i] = cnt
         else:
             packed.append(None)
         if counts[i] is None:
@@ -286,21 +297,37 @@ def build_group_state(
             point_valid[i, vrows] = True
             row_src[i, vrows] = vsrc.astype(np.int32)
 
-    hard_dst, hard_valid = _pack_table(
-        [[(s, di * p_pad + dp) for (s, di, dp) in h] for h in hard_links],
-        n,
-        p_pad,
-    )
+    has_constraints = any(len(h) for h in hard_links)
+    if has_constraints:
+        hard_dst, hard_valid = _pack_table(
+            [[(s, di * p_pad + dp) for (s, di, dp) in h] for h in hard_links],
+            n,
+            p_pad,
+        )
+    else:
+        # zero-width: ships no bytes, and every consumer reduces over the
+        # (empty) KH axis to exact zeros
+        hard_dst = np.zeros((n, p_pad, 0), np.int32)
+        hard_valid = np.zeros((n, p_pad, 0), bool)
 
     em = np.tile(np.asarray(EM_INIT, np.float32), (n, 1))
     affine = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
 
+    # Host->device slimming (the remote tunnel runs ~35 MB/s, and the
+    # link tables are the register stage's largest upload): the validity
+    # mask rides inside the destination index (valid -> dst + 1,
+    # invalid -> 0) so ONE i32 array ships and a device-side decode
+    # rebuilds both; xyz2 aliases the xyz buffer (immutable).
+    enc = np.where(link_valid, link_dst + 1, 0).astype(np.int32)
+    link_dst_d, link_valid_d = _jit_decode_links(jnp.asarray(enc))
+    xyz_d = jnp.asarray(xyz)
+
     arrays = GroupArrays(
-        xyz=jnp.asarray(xyz),
-        xyz2=jnp.asarray(xyz),
+        xyz=xyz_d,
+        xyz2=xyz_d,
         point_valid=jnp.asarray(point_valid),
-        link_dst=jnp.asarray(link_dst),
-        link_valid=jnp.asarray(link_valid),
+        link_dst=link_dst_d,
+        link_valid=link_valid_d,
         hard_dst=jnp.asarray(hard_dst),
         hard_valid=jnp.asarray(hard_valid),
         em=jnp.asarray(em),
