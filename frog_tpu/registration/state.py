@@ -202,30 +202,34 @@ def build_group_state(
         half_di[j].append(np.full(m.shape[0], i, np.int64))
         half_dp[j].append(m[:, 0])
 
-    k_max = 1
-    packed = []
-    counts = [None] * n
-    for i in range(n):
-        if half_src[i]:
-            src = np.concatenate(half_src[i]).astype(np.int32)
-            di = np.concatenate(half_di[i]).astype(np.int32)
-            dp = np.concatenate(half_dp[i]).astype(np.int32)
-            order = np.argsort(src, kind="stable")
-            src, di, dp = src[order], di[order], dp[order]
-            # slot within the point's row = rank among equal srcs; the
-            # row-start table comes from one bincount (cheaper than a
-            # 300k-element searchsorted)
-            cnt = np.bincount(src, minlength=int(n_points[i]))
-            starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-            slot = np.arange(src.shape[0]) - starts[src]
-            packed.append((src, di, dp, slot))
-            if src.shape[0]:
-                k_max = max(k_max, int(slot.max()) + 1)
-                counts[i] = cnt
-        else:
-            packed.append(None)
-        if counts[i] is None:
-            counts[i] = np.zeros(int(n_points[i]), np.int64)
+    def _pack_one(i):
+        if not half_src[i]:
+            return None, np.zeros(int(n_points[i]), np.int64)
+        src = np.concatenate(half_src[i]).astype(np.int32)
+        di = np.concatenate(half_di[i]).astype(np.int32)
+        dp = np.concatenate(half_dp[i]).astype(np.int32)
+        order = np.argsort(src, kind="stable")
+        src, di, dp = src[order], di[order], dp[order]
+        # slot within the point's row = rank among equal srcs; the
+        # row-start table comes from one bincount (cheaper than a
+        # 300k-element searchsorted)
+        cnt = np.bincount(src, minlength=int(n_points[i]))
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        slot = np.arange(src.shape[0]) - starts[src]
+        return (src, di, dp, slot), cnt
+
+    # the per-image packing (sorts + bincounts over ~300k links each) is
+    # independent and numpy releases the GIL: a tiny pool halves it
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        results = list(pool.map(_pack_one, range(n)))
+    packed = [r[0] for r in results]
+    counts = [r[1] for r in results]
+    k_max = max(
+        (int(e[3].max()) + 1 for e in packed if e is not None and e[0].shape[0]),
+        default=1,
+    )
 
     # Choose the row width K: a TPU gather fetches one full tile per index
     # whether or not the slot is valid, so the per-iteration link pass
@@ -275,9 +279,11 @@ def build_group_state(
 
     link_dst = np.zeros((n, p_pad, k_pad), np.int32)
     link_valid = np.zeros((n, p_pad, k_pad), bool)
-    for i, entry in enumerate(packed):
+
+    def _fill_one(i):
+        entry = packed[i]
         if entry is None:
-            continue
+            return
         src, di, dp, slot = entry
         dstf = di * p_pad + dp
         block = slot // k_pad
@@ -296,6 +302,9 @@ def build_group_state(
             xyz[i, vrows] = xyz[i, vsrc]
             point_valid[i, vrows] = True
             row_src[i, vrows] = vsrc.astype(np.int32)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_fill_one, range(n)))
 
     has_constraints = any(len(h) for h in hard_links)
     if has_constraints:
