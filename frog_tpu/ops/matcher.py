@@ -800,4 +800,4 @@ def warm_matcher(n_points: int, scale_ratio: float = 1.3):
                 d1, d2, i1, jnp.float32(1.0), jnp.float32(0.9), pad < 32768
             )
 
-    return aot.warm(task)
+    return aot.warm(task, key=("warm_matcher", pad, scale_ratio))

@@ -568,7 +568,22 @@ class GroupRegistration:
             )
 
         for level in range(cfg.deformable_levels):
-            aot.warm(warm_level, level)
+            aot.warm(
+                warm_level,
+                level,
+                # the closure captures shapes: key them explicitly so a
+                # repeat registration skips the warm-up execution but a
+                # different graph/config still warms
+                key=(
+                    "warm_level", level, tuple(self.arrays.xyz.shape),
+                    tuple(self.arrays.link_dst.shape),
+                    cfg.initial_grid_size, cfg.bbox_margin,
+                    cfg.deformable_iterations, cfg.stat_interval,
+                    cfg.guarantee_diffeomorphism, cfg.histogram_bins,
+                    self._em_stride(), self._em_reservoir(),
+                    tuple(np.round(lo, 3)), tuple(np.round(hi, 3)),
+                ),
+            )
 
     def _run_fresh(self):
         cfg = self.config

@@ -21,6 +21,30 @@ __all__ = ["warm", "drain"]
 
 _pool: ThreadPoolExecutor | None = None
 _pending: list = []
+_seen: set = set()
+
+
+def _signature(fn, args, kwargs):
+    """Hashable (function, arg-shapes) key: warming the same jitted
+    callable twice at the same shapes is pure wasted device time (the
+    executable is already in the process's jit cache), and repeat
+    registrations (serve mode, benchmarks) hit this constantly."""
+    def leaf_key(x):
+        shape = getattr(x, "shape", None)
+        if shape is not None:
+            return (tuple(shape), str(getattr(x, "dtype", "")))
+        try:
+            hash(x)
+            return x
+        except TypeError:
+            return repr(x)
+
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten((args, kwargs))
+    name = getattr(fn, "__qualname__", None) or repr(fn)
+    mod = getattr(fn, "__module__", "")
+    return (mod, name, treedef, tuple(leaf_key(x) for x in leaves))
 
 
 def _get_pool() -> ThreadPoolExecutor:
@@ -30,15 +54,28 @@ def _get_pool() -> ThreadPoolExecutor:
     return _pool
 
 
-def warm(fn, *args, **kwargs) -> Future | None:
+def warm(fn, *args, key=None, **kwargs) -> Future | None:
     """Run ``fn(*args, **kwargs)`` on a worker thread, ignore the result
     (and any failure).  Returns the future for tests.  Set FROG_AOT=0 to
     disable all warming (e.g. when the shared remote-compile service is
-    contended and queueing extra work hurts more than it overlaps)."""
+    contended and queueing extra work hurts more than it overlaps).
+
+    Repeat calls with the same signature are skipped — the executable is
+    already in the process's jit cache and the warm-up execution would
+    just burn device time ahead of real work.  Closures whose captured
+    shapes matter must pass an explicit ``key`` (a wrong skip only costs
+    an inline compile, never correctness)."""
     import os
 
     if os.environ.get("FROG_AOT", "1") == "0":
         return None
+    try:
+        k = key if key is not None else _signature(fn, args, kwargs)
+        if k in _seen:
+            return None
+        _seen.add(k)
+    except Exception:  # noqa: BLE001 — unhashable exotic args: just warm
+        pass
 
     def task():
         try:
