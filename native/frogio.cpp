@@ -10,6 +10,7 @@
 // Build: g++ -O3 -shared -fPIC -o libfrogio.so frogio.cpp -ldeflate -lz
 //        (or without -ldeflate/-DHAVE_LIBDEFLATE: zlib-only fallback)
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -201,37 +202,130 @@ int frogio_read_csv(const char* path, float* out, int max_rows, int cols) {
     return rows;
 }
 
-// Format rows of floats as CSV ("%.9g"), gzip-compressing when the path
-// ends in .gz.  Returns 0 on success.
+static const char kDigits2[201] =
+    "00010203040506070809101112131415161718192021222324"
+    "25262728293031323334353637383940414243444546474849"
+    "50515253545556575859606162636465666768697071727374"
+    "75767778798081828384858687888990919293949596979899";
+
+// Fast %.9g-style float formatter: 9 significant digits, %g fixed vs
+// exponential selection, trailing-zero trimming.  The 9-digit decimal
+// mantissa comes from one double scaling + llround; double noise can
+// shift the LAST digit by one near ties, which is harmless — any
+// 9-significant-digit decimal within one unit-in-the-9th-digit of the
+// value still round-trips to the identical float (a float needs at most
+// 9 digits, and 1e-9 relative perturbation is far inside the half-ulp
+// radius ~6e-8) — verified against a bitwise parse round-trip in
+// tests/test_pairs_io.py.  Zeros/inf/nan/subnormals fall back to
+// snprintf.  Returns the character count.
+static inline int fmt_g9(float f, char* out) {
+    if (!(f == f) || f * 0.0f != 0.0f || f == 0.0f ||
+        (f > -1.1754944e-38f && f < 1.1754944e-38f)) {
+        return snprintf(out, 40, "%.9g", (double)f);
+    }
+    char* p = out;
+    double d = (double)f;
+    if (d < 0) { *p++ = '-'; d = -d; }
+    int e10 = (int)floor(log10(d));
+    // scale to a 9-digit integer mantissa in [1e8, 1e9)
+    double scale = pow(10.0, 8 - e10);
+    long long m = llround(d * scale);
+    if (m >= 1000000000LL) { m /= 10; e10++; }
+    else if (m < 100000000LL) { m *= 10; e10--; }
+    char digs[10];
+    for (int i = 8; i >= 1; i -= 2) {
+        int two = (int)(m % 100);
+        m /= 100;
+        digs[i] = (char)kDigits2[two * 2 + 1];
+        digs[i - 1] = (char)kDigits2[two * 2];
+    }
+    digs[0] = (char)('0' + (int)m);
+    int last = 8;            // index of last significant (non-zero) digit
+    while (last > 0 && digs[last] == '0') last--;
+    if (e10 >= -4 && e10 <= 8) {
+        // %g: fixed notation iff -4 <= decimal exponent < precision (9)
+        if (e10 >= 0) {
+            for (int i = 0; i <= e10; i++) *p++ = i <= 8 ? digs[i] : '0';
+            if (last > e10) {
+                *p++ = '.';
+                for (int i = e10 + 1; i <= last; i++) *p++ = digs[i];
+            }
+        } else {
+            *p++ = '0';
+            *p++ = '.';
+            for (int i = 0; i < -e10 - 1; i++) *p++ = '0';
+            for (int i = 0; i <= last; i++) *p++ = digs[i];
+        }
+    } else {
+        *p++ = digs[0];
+        if (last > 0) {
+            *p++ = '.';
+            for (int i = 1; i <= last; i++) *p++ = digs[i];
+        }
+        *p++ = 'e';
+        int ae = e10;
+        if (ae < 0) { *p++ = '-'; ae = -ae; }
+        else *p++ = '+';
+        if (ae >= 100) { *p++ = (char)('0' + ae / 100); ae %= 100; }
+        *p++ = (char)kDigits2[ae * 2];
+        *p++ = (char)kDigits2[ae * 2 + 1];
+    }
+    return (int)(p - out);
+}
+
+// Format rows of floats as CSV (9 significant digits, round-trip exact),
+// gzip-compressing when the path ends in .gz (libdeflate when built with
+// it, zlib otherwise).  Returns 0 on success.
 int frogio_write_csv(const char* path, const float* data, int rows, int cols) {
     std::string out;
     out.reserve((size_t)rows * cols * 12);
-    char tmp[40];
+    char tmp[48];
     for (int r = 0; r < rows; r++) {
         const float* rowp = data + (size_t)r * cols;
         for (int c = 0; c < cols; c++) {
-            int n = snprintf(tmp, sizeof(tmp), "%.9g", rowp[c]);
+            int n = fmt_g9(rowp[c], tmp);
             out.append(tmp, n);
             out.push_back(c + 1 < cols ? ',' : '\n');
         }
     }
     size_t len = strlen(path);
     bool gz = len > 3 && strcmp(path + len - 3, ".gz") == 0;
-    if (gz) {
-        gzFile f = gzopen(path, "wb1");  // level 1: IO is latency-, not size-bound
+    if (!gz) {
+        FILE* f = fopen(path, "wb");
         if (!f) return -1;
-        if ((size_t)gzwrite(f, out.data(), out.size()) != out.size()) {
-            gzclose(f);
-            return -1;
-        }
-        gzclose(f);
-        return 0;
+        bool ok = fwrite(out.data(), 1, out.size(), f) == out.size();
+        fclose(f);
+        return ok ? 0 : -1;
     }
-    FILE* f = fopen(path, "wb");
+#ifdef HAVE_LIBDEFLATE
+    {
+        struct libdeflate_compressor* comp = libdeflate_alloc_compressor(1);
+        if (comp) {
+            size_t cap = libdeflate_gzip_compress_bound(comp, out.size());
+            char* buf = (char*)malloc(cap);
+            size_t n = buf ? libdeflate_gzip_compress(
+                comp, out.data(), out.size(), buf, cap) : 0;
+            libdeflate_free_compressor(comp);
+            if (n) {
+                FILE* f = fopen(path, "wb");
+                bool ok = f && fwrite(buf, 1, n, f) == n;
+                if (f) fclose(f);
+                free(buf);
+                return ok ? 0 : -1;
+            }
+            free(buf);
+        }
+        // fall through to zlib
+    }
+#endif
+    gzFile f = gzopen(path, "wb1");  // level 1: IO is latency-, not size-bound
     if (!f) return -1;
-    bool ok = fwrite(out.data(), 1, out.size(), f) == out.size();
-    fclose(f);
-    return ok ? 0 : -1;
+    if ((size_t)gzwrite(f, out.data(), out.size()) != out.size()) {
+        gzclose(f);
+        return -1;
+    }
+    gzclose(f);
+    return 0;
 }
 
 }  // extern "C"
