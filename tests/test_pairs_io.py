@@ -85,6 +85,38 @@ def test_keypoints_roundtrip(tmp_path):
         np.testing.assert_allclose(back.to_matrix(), mat, rtol=1e-5)
 
 
+def test_keypoints_csv_bitwise_roundtrip(tmp_path):
+    """The native CSV codec (fast 9-digit formatter + fast parser,
+    native/frogio.cpp) must reproduce every float BITWISE through a
+    write -> read cycle, across magnitude extremes, subnormals, exact
+    decimals and random values — and so must the pure-Python fallback."""
+    from frog_tpu.io.keypoints import Keypoints, read_keypoints, write_keypoints
+
+    rng = np.random.default_rng(7)
+    special = np.array(
+        [0.0, -0.0, 1.0, -1.0, 0.1, 1e-38, 1.1754944e-38, 1e-44, 1e-42,
+         3.4028235e38, -3.4e38, 1e8, 999999999.0, 1.0000001, 0.5, 2.5,
+         1e-5, 1e-4, 0.0001234, 123456789.0],
+        np.float32,
+    )
+    vals = np.concatenate([
+        special,
+        rng.normal(size=2000).astype(np.float32),
+        (rng.normal(size=2000) * 10.0 ** rng.integers(-38, 38, 2000))
+        .astype(np.float32),
+    ])
+    vals = vals[np.isfinite(vals)]
+    n = vals.size // 54 * 54
+    mat = vals[:n].reshape(-1, 54).copy()
+    # responses must be finite for from_matrix/top_by_response semantics
+    kp = Keypoints.from_matrix(mat)
+    for name in ("rt.csv", "rt.csv.gz"):
+        f = str(tmp_path / name)
+        write_keypoints(f, kp)
+        back = read_keypoints(f)
+        assert np.array_equal(back.to_matrix(), mat), name
+
+
 def test_keypoints_top_by_response():
     from frog_tpu.io.keypoints import Keypoints
 
