@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("-s", dest="spacing", type=float, default=0.75)
     run.add_argument("-t", dest="threshold", type=float, default=0.0)
     run.add_argument("-a", dest="average_spacing", type=float, default=None)
+    run.add_argument("-devices", type=int, default=None,
+                     help="use N local devices end-to-end: extraction"
+                          " round-robins volumes, matching shards pair"
+                          " chunks, registration shards the image axis")
 
     # ---- extract (surf3d CLI, frog.json:352-428)
     ex = sub.add_parser("extract", help="3D-SURF keypoints")
@@ -328,6 +332,7 @@ def main(argv=None):
             average_spacing=args.average_spacing,
             skip_existing=args.skip_existing,
             limit=args.limit,
+            devices=args.devices,
         )
     elif cmd == "extract":
         from .io.keypoints import write_keypoints

@@ -572,8 +572,10 @@ def _match_pairs_mesh(stacked, keypoints, pairs, params, mesh, use_pallas,
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map
-    except ImportError:  # older jax
+        _replication_kwarg = "check_vma"
+    except ImportError:  # older jax: experimental API spells the flag check_rep
         from jax.experimental.shard_map import shard_map
+        _replication_kwarg = "check_rep"
 
     axis = mesh.axis_names[0]
     d = mesh.devices.size
@@ -634,7 +636,7 @@ def _match_pairs_mesh(stacked, keypoints, pairs, params, mesh, use_pallas,
         mesh=mesh,
         in_specs=(P(axis), P(axis)) + (P(),) * len(reps),
         out_specs=(P(axis), P(axis)),
-        check_vma=False,
+        **{_replication_kwarg: False},
     )
     bits, idxn = fn(jnp.asarray(ia), jnp.asarray(ib), *reps)
     acc_all = np.unpackbits(

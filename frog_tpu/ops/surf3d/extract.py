@@ -195,18 +195,20 @@ def extract_keypoints(
     return finalize_keypoints(*extract_keypoints_async(vol, params, mask))
 
 
-def stage_for_extract(vol: Volume, params: SurfParams = SurfParams()):
+def stage_for_extract(vol: Volume, params: SurfParams = SurfParams(),
+                      device=None):
     """Host prep (clamp, pad, wire cast) + async device upload of a volume
     for :func:`extract_keypoints_async`.  Run this on an IO worker thread
     for volume k+1 while volume k computes: the f16 cast (~0.2 s host CPU)
     and the tunnel transfer then overlap device work instead of
-    serializing with it (pipeline.extract_stage does exactly that)."""
+    serializing with it (pipeline.extract_stage does exactly that).
+    ``device`` pins the upload for the round-robin multi-device path."""
     from .resample import stage_volume
 
     vol = clamp(vol, params.cmin, params.cmax)
     if params.pad > 0:
         vol = mirror_pad(vol, params.pad)
-    return stage_volume(vol, np.dtype(params.transfer_dtype))
+    return stage_volume(vol, np.dtype(params.transfer_dtype), device=device)
 
 
 def extract_keypoints_async(
@@ -236,7 +238,11 @@ def extract_keypoints_async(
     mask_vals = None
     if mask is not None:
         # sample the mask on the isotropic grid; keep voxels with mask > 0
-        mdata = jnp.asarray(mask.data, jnp.float32)
+        # (pinned to the volume's device: the round-robin multi-device
+        # path commits each volume to its own device)
+        mdata = jax.device_put(
+            np.asarray(mask.data, np.float32), getattr(data, "device", None)
+        )
         grids = [
             (iso_origin[k] + iso_spacing[k] * np.arange(data.shape[k])
              - mask.origin[k]) / mask.spacing[k]

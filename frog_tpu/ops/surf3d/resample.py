@@ -130,12 +130,15 @@ class StagedVolume:
     bounds: tuple  # (lo, hi) physical corners
 
 
-def stage_volume(vol: Volume, transfer_dtype=np.float32) -> StagedVolume:
+def stage_volume(vol: Volume, transfer_dtype=np.float32,
+                 device=None) -> StagedVolume:
     """Host wire prep + device upload of a volume, decoupled from the
     resample kernel so callers can prefetch volume k+1 while volume k
     computes.  ``transfer_dtype`` float16 halves the host->device
     transfer at ~5e-4 relative intensity error; int8/int16 volumes (CT)
-    always ship losslessly as-is."""
+    always ship losslessly as-is.  ``device`` pins the upload (the
+    multi-device extract path round-robins volumes over local devices);
+    None keeps the default placement."""
     src = np.asarray(vol.data)
     if np.issubdtype(src.dtype, np.integer) and src.dtype.itemsize <= 2:
         wire = src  # int8/int16 ship as-is (lossless, already narrow)
@@ -144,7 +147,7 @@ def stage_volume(vol: Volume, transfer_dtype=np.float32) -> StagedVolume:
     else:
         wire = np.ascontiguousarray(src, np.dtype(transfer_dtype))
     return StagedVolume(
-        wire=jax.device_put(wire),
+        wire=jax.device_put(wire, device),
         origin=np.asarray(vol.origin, np.float64).copy(),
         spacing=np.asarray(vol.spacing, np.float64).copy(),
         shape=src.shape,

@@ -124,6 +124,7 @@ def extract_stage(
     masks: list | None = None,
     skip_existing: bool = False,
     verbose: bool = True,
+    devices: int | None = None,
 ) -> list:
     """Per-volume keypoint extraction with skip-existing
     (FROG.py:179-208).  Returns the keypoint file list.
@@ -132,11 +133,23 @@ def extract_stage(
     one) overlaps the current volume's device computation via a small
     thread pool — the device dispatch is asynchronous, so the host would
     otherwise idle during the fused extraction kernel.
-    """
+
+    ``devices`` round-robins volumes over that many local devices — the
+    TPU analog of the reference's per-image parallel extraction loop
+    (run.sh:80-88; OpenMP-over-images, imageGroup.cxx:194): volume k is
+    staged and dispatched on device k % D, with up to D extractions in
+    flight, each keeping the existing double-buffered upload/readback
+    overlap.  None/1 keeps the single-device path."""
     from concurrent.futures import ThreadPoolExecutor
 
     os.makedirs(out_dir, exist_ok=True)
-    pool = ThreadPoolExecutor(max_workers=2)
+    devs = [None]
+    if devices and devices > 1:
+        import jax
+
+        devs = jax.devices()[:devices]
+    n_dev = len(devs)
+    pool = ThreadPoolExecutor(max_workers=2 + min(n_dev - 1, 2))
     work = []  # (index-in-files, out path)
     keypoint_files = []
     for i, f in enumerate(files):
@@ -159,19 +172,19 @@ def extract_stage(
         stage_for_extract,
     )
 
-    def _read(i, f):
+    def _read(i, f, device):
         # read + clamp/pad + wire cast + device upload, all on this worker
         # thread: volume k+1's host prep (~0.2 s CPU for the f16 cast) and
         # tunnel transfer overlap volume k's detect/describe device time
         vol = read_volume(f)
-        staged = stage_for_extract(vol, surf)
+        staged = stage_for_extract(vol, surf, device=device)
         mask = None
         if masks and i < len(masks) and masks[i]:
             mask = read_volume(masks[i])
         return staged, mask
 
     pending_write = None
-    pending = None  # (device results, out path, name, t_start)
+    pending = []  # FIFO of (device results, out path, name, t_start)
 
     def finish(p):
         nonlocal pending_write
@@ -188,20 +201,25 @@ def extract_stage(
 
     for k, (i, f, out) in enumerate(work):
         if (i, f) not in reads:
-            reads[(i, f)] = pool.submit(_read, i, f)
+            reads[(i, f)] = pool.submit(_read, i, f, devs[k % n_dev])
         t0 = time.time()
         vol, mask = reads.pop((i, f)).result()
-        if k + 1 < len(work):  # prefetch the next volume during compute
-            ni, nf, _ = work[k + 1]
-            reads[(ni, nf)] = pool.submit(_read, ni, nf)
-        # dispatch volume k BEFORE paying volume k-1's readback: the
-        # device crunches k while the (slow, remote) result tunnel drains
+        # prefetch up to n_dev volumes ahead (each to its own device)
+        for ahead in range(1, n_dev + 1):
+            if k + ahead < len(work):
+                ni, nf, _ = work[k + ahead]
+                if (ni, nf) not in reads:
+                    reads[(ni, nf)] = pool.submit(
+                        _read, ni, nf, devs[(k + ahead) % n_dev]
+                    )
+        # dispatch volume k BEFORE paying earlier readbacks: device k%D
+        # crunches k while the (slow, remote) result tunnel drains
         dispatched = extract_keypoints_async(vol, surf, mask=mask)
-        if pending is not None:
-            finish(pending)
-        pending = (dispatched, out, os.path.basename(f), t0)
-    if pending is not None:
-        finish(pending)
+        pending.append((dispatched, out, os.path.basename(f), t0))
+        while len(pending) > n_dev:
+            finish(pending.pop(0))
+    while pending:
+        finish(pending.pop(0))
     if pending_write is not None:
         pending_write.result()
     pool.shutdown()
@@ -283,6 +301,7 @@ def match_stage(
         loaded = list(rpool.map(_load_one, range(len(keypoint_files))))
     kps = [kp for kp, _ in loaded]
     staged = [rows for _, rows in loaded]
+    del loaded  # don't pin the speculative device buffers if staging bails
     if (
         not staged
         or any(r is None for r in staged)
@@ -468,9 +487,12 @@ def run_pipeline(
     skip_existing: bool = False,
     limit: int | None = None,
     verbose: bool = True,
+    devices: int | None = None,
 ):
     """Full pipeline: extract -> match -> register [-> average]
-    (FROG.py main flow)."""
+    (FROG.py main flow).  ``devices`` spreads ALL THREE stages over that
+    many local devices (extraction round-robins volumes, matching shards
+    pair chunks, registration shards the image axis)."""
     files = find_inputs(input_path)
     if limit:
         files = files[:limit]
@@ -487,7 +509,7 @@ def run_pipeline(
     warm_matcher(surf.n_points, match_params.scale_ratio)
     keypoint_files = extract_stage(
         files, surf, out_dir, masks=masks, skip_existing=skip_existing,
-        verbose=verbose,
+        verbose=verbose, devices=devices,
     )
     with open(os.path.join(out_dir, "volumes.txt"), "w") as f:
         f.write("\n".join(keypoint_files))
@@ -499,6 +521,7 @@ def run_pipeline(
         n_points=surf.n_points,
         skip_existing=skip_existing,
         verbose=verbose,
+        devices=devices,
     )
     t2 = time.time()
     landmarks = (
@@ -513,7 +536,7 @@ def run_pipeline(
     )
     reg = register_stage(
         graph, config, landmarks=landmarks, constraints=constraints,
-        output_dir=out_dir,
+        output_dir=out_dir, devices=devices,
     )
     t3 = time.time()
     if verbose:

@@ -33,6 +33,20 @@
 // nFixed > 0 freezes the first images (no RANSAC here: pair it with
 // use_ransac=False on the JAX side), disables mean subtraction, and sums
 // E over movable images only (imageGroup.cxx:398-409).
+//
+// argv[17]/argv[18] (emTableP / emTableK): TABLE-STRIDE EM sampling
+// parity mode.  The TPU implementation stores half-links as a padded
+// per-point table of P rows x K slots (surplus links of high-degree
+// points spill into virtual rows; frog_tpu/registration/state.py) and,
+// with an EM sample cap, subsamples the FLATTENED table at a static
+// stride ceil(P*K / cap) (group.py::_em_stride).  Passing the TPU run's
+// (P, K) here makes this oracle draw the EXACT same subsample (same
+// per-point link ordering — pairs.bin order — same virtual-row layout,
+// same stride over the same padded positions), so the EM parameter
+// trajectories and hence the diffeomorphism-guard decisions of the two
+// implementations are comparable decision-for-decision instead of only
+// statistically.  0/absent keeps the compact-list stride (an
+// approximation of the reference's 10k reservoir, stats.h:36-76).
 
 #include <algorithm>
 #include <chrono>
@@ -310,15 +324,54 @@ int main(int argc, char** argv) {
         }
     };
 
+    // ---- TPU table-layout mirror for EM sampling parity (see header).
+    int emTableP = argc > 17 ? atoi(argv[17]) : 0;
+    int emTableK = argc > 18 ? atoi(argv[18]) : 0;
+    struct EmTable {
+        vector<uint32_t> count;   // links per source point
+        vector<size_t> ptStart;   // exclusive cumsum into `order`
+        vector<uint32_t> order;   // link indices grouped by src, stable
+        vector<int32_t> rowSrc;   // per padded row: src point, -1 = padding
+        vector<int32_t> rowBlock; // per padded row: K-slot block index
+    };
+    vector<EmTable> emTables;
+    if (emTableP > 0 && emTableK > 0) {
+        emTables.resize(n);
+        for (int i = 0; i < n; i++) {
+            EmTable& tb = emTables[i];
+            size_t P0 = images[i].xyz.size() / 3;
+            tb.count.assign(P0, 0);
+            for (const HalfLink& lk : images[i].links) tb.count[lk.src]++;
+            tb.ptStart.assign(P0 + 1, 0);
+            for (size_t p = 0; p < P0; p++)
+                tb.ptStart[p + 1] = tb.ptStart[p] + tb.count[p];
+            tb.order.resize(images[i].links.size());
+            vector<size_t> fill(tb.ptStart.begin(), tb.ptStart.end() - 1);
+            for (uint32_t l = 0; l < (uint32_t)images[i].links.size(); l++)
+                tb.order[fill[images[i].links[l].src]++] = l;
+            // virtual rows follow the true points, grouped per src in src
+            // order (state.py: starts = n_points + exclusive cumsum(extra))
+            tb.rowSrc.assign((size_t)emTableP, -1);
+            tb.rowBlock.assign((size_t)emTableP, 0);
+            size_t next = P0;
+            for (size_t p = 0; p < P0 && p < (size_t)emTableP; p++) {
+                tb.rowSrc[p] = (int32_t)p;
+                size_t blocks = (tb.count[p] + emTableK - 1) / emTableK;
+                for (size_t b = 1; b < blocks && next < (size_t)emTableP;
+                     b++, next++) {
+                    tb.rowSrc[next] = (int32_t)p;
+                    tb.rowBlock[next] = (int32_t)b;
+                }
+            }
+        }
+    }
+
     auto updateStats = [&]() {
 #pragma omp parallel for
         for (int i = 0; i < n; i++) {
             ImageData& im = images[i];
             vector<float> samples;
-            size_t stride = std::max<size_t>(1, im.links.size() / maxEM);
-            samples.reserve(im.links.size() / stride + 1);
-            for (size_t l = 0; l < im.links.size(); l += stride) {
-                const HalfLink& lk = im.links[l];
+            auto push = [&](const HalfLink& lk) {
                 const float* pA = &im.xyz2[3 * lk.src];
                 const float* pB = &images[lk.dstImg].xyz2[3 * lk.dstPt];
                 float d2 = 0;
@@ -326,6 +379,28 @@ int main(int argc, char** argv) {
                     float dd = pA[k] - pB[k]; d2 += dd * dd;
                 }
                 samples.push_back(sqrtf(d2));
+            };
+            if (!emTables.empty()) {
+                // TPU-identical subsample: static stride over the padded
+                // (P, K) table positions (group.py::_em_stride)
+                const EmTable& tb = emTables[i];
+                size_t total = (size_t)emTableP * emTableK;
+                size_t stride =
+                    (maxEM && total > maxEM) ? (total + maxEM - 1) / maxEM : 1;
+                samples.reserve(total / stride + 1);
+                for (size_t t = 0; t < total; t += stride) {
+                    size_t row = t / emTableK, col = t % emTableK;
+                    int32_t src = tb.rowSrc[row];
+                    if (src < 0) continue;
+                    size_t rank = (size_t)tb.rowBlock[row] * emTableK + col;
+                    if (rank >= tb.count[src]) continue;
+                    push(im.links[tb.order[tb.ptStart[src] + rank]]);
+                }
+            } else {
+                size_t stride = std::max<size_t>(1, im.links.size() / maxEM);
+                samples.reserve(im.links.size() / stride + 1);
+                for (size_t l = 0; l < im.links.size(); l += stride)
+                    push(im.links[l]);
             }
             estimateEM(im, samples);
         }

@@ -24,15 +24,20 @@
 
 extern "C" {
 
+// Returns a malloc'd buffer with ONE extra NUL byte past *size (the
+// strtof fallback in parse_float scans from a raw pointer and needs a
+// terminator).
 static char* read_raw(const char* path, size_t* size) {
     FILE* f = fopen(path, "rb");
     if (!f) return nullptr;
-    fseek(f, 0, SEEK_END);
-    long n = ftell(f);
-    fseek(f, 0, SEEK_SET);
-    char* buf = (char*)malloc(n > 0 ? n : 1);
+    long n = -1;
+    if (fseek(f, 0, SEEK_END) == 0) n = ftell(f);
+    if (n < 0 || fseek(f, 0, SEEK_SET) != 0) { fclose(f); return nullptr; }
+    char* buf = (char*)malloc((size_t)n + 1);
+    if (!buf) { fclose(f); return nullptr; }
     if (fread(buf, 1, n, f) != (size_t)n) { fclose(f); free(buf); return nullptr; }
     fclose(f);
+    buf[n] = '\0';
     *size = (size_t)n;
     return buf;
 }
@@ -75,9 +80,14 @@ static char* read_all(const char* path, size_t* size) {
             }
             if (d) libdeflate_free_decompressor(d);
             if (ok) {
-                free(in);
-                *size = used;
-                return out;
+                char* fin = (char*)realloc(out, used + 1);
+                if (fin) {
+                    free(in);
+                    fin[used] = '\0';
+                    *size = used;
+                    return fin;
+                }
+                ok = false;
             }
             free(out);
         }
@@ -88,16 +98,20 @@ static char* read_all(const char* path, size_t* size) {
     gzFile f = gzopen(path, "rb");
     if (!f) return nullptr;
     size_t cap = 1 << 20, used = 0;
-    char* buf = (char*)malloc(cap);
+    char* buf = (char*)malloc(cap + 1);
+    if (!buf) { gzclose(f); return nullptr; }
     int n;
     while ((n = gzread(f, buf + used, cap - used)) > 0) {
         used += n;
         if (used == cap) {
             cap *= 2;
-            buf = (char*)realloc(buf, cap);
+            char* grown = (char*)realloc(buf, cap + 1);
+            if (!grown) { gzclose(f); free(buf); return nullptr; }
+            buf = grown;
         }
     }
     gzclose(f);
+    buf[used] = '\0';
     *size = used;
     return buf;
 }
@@ -109,13 +123,17 @@ static const double kPow10[23] = {
     1e11, 1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22,
 };
 
-// Fast decimal float parse.  The fast path accumulates up to 15
-// significant digits into a uint64 (exact) and applies one double
-// multiply/divide by an exactly-representable power of ten — one
-// correctly-rounded double operation, and double->float double rounding
-// is innocuous at 53 >= 2*24+2 bits, so the result is bit-identical to a
-// correctly-rounding strtof.  Anything outside that envelope (16+ digits,
-// |decimal exponent| > 22, inf/nan spellings) falls back to strtof.
+// Fast decimal float parse.  The fast path accumulates up to 9
+// SIGNIFICANT digits (leading zeros skipped) into a uint64 (exact) and
+// applies one double multiply/divide by an exactly-representable power
+// of ten.  fmt_g9 below never emits more than 9 significant digits, and
+// the parse(fmt_g9(f)) == f bitwise round-trip across magnitude extremes
+// and subnormals is verified by tests/test_pairs_io.py — so every file
+// this codec writes takes the fast path and round-trips exactly.
+// Anything outside that envelope (10+ significant digits, |decimal
+// exponent| > 22, inf/nan spellings) falls back to strtof, which is
+// correctly rounding by definition (foreign higher-precision files pay
+// the slow path instead of risking a double-rounding ulp).
 // Returns the end pointer, or nullptr when nothing numeric starts at p.
 static inline const char* parse_float(const char* p, const char* end,
                                       float* outv) {
@@ -126,7 +144,8 @@ static inline const char* parse_float(const char* p, const char* end,
     int digits = 0, dexp = 0;
     bool any = false;
     while (p < end && *p >= '0' && *p <= '9') {
-        if (digits < 19) { mant = mant * 10 + (uint64_t)(*p - '0'); digits++; }
+        if (mant == 0 && *p == '0') { /* leading zero: not significant */ }
+        else if (digits < 19) { mant = mant * 10 + (uint64_t)(*p - '0'); digits++; }
         else dexp++;
         any = true;
         p++;
@@ -134,10 +153,14 @@ static inline const char* parse_float(const char* p, const char* end,
     if (p < end && *p == '.') {
         p++;
         while (p < end && *p >= '0' && *p <= '9') {
-            if (digits < 19) {
+            if (mant == 0 && *p == '0') {
+                dexp--;  // leading fractional zero: scale only
+            } else if (digits < 19) {
                 mant = mant * 10 + (uint64_t)(*p - '0');
                 digits++;
                 dexp--;
+            } else {
+                digits = 19;  // excess precision: force the strtof path
             }
             any = true;
             p++;
@@ -159,7 +182,7 @@ static inline const char* parse_float(const char* p, const char* end,
             p = ep;
         }
     }
-    if (any && digits <= 15 && dexp >= -22 && dexp <= 22) {
+    if (any && digits <= 9 && dexp >= -22 && dexp <= 22) {
         double d = (double)mant;
         d = dexp >= 0 ? d * kPow10[dexp] : d / kPow10[-dexp];
         *outv = (float)(neg ? -d : d);

@@ -328,6 +328,66 @@ def test_em_subsample_modes_match_native(tmp_path, mode):
     assert np.all(np.abs(em[:, 2] - native_em[:, 2]) <= 0.15)
 
 
+def test_em_table_stride_mode_binds_strict_parity(tmp_path):
+    """The TABLE-STRIDE parity mode (baseline_frog argv 17/18): the C++
+    oracle mirrors the TPU's padded (P, K) link-table layout and samples
+    the EM buffer at the same static stride over the same flattened
+    positions (group.py::_em_stride) — the sample SETS are then
+    identical, so unlike the statistical bar of
+    test_em_subsample_modes_match_native, subsampled runs must agree as
+    tightly as full-sample ones (f32-vs-double arithmetic only)."""
+    if not _ensure_binary():
+        pytest.skip("no C++ toolchain for native baseline")
+    graph, _ = make_synthetic_group(
+        seed=51,
+        n_images=4,
+        n_points=300,
+        extent=200.0,
+        warp_amp=4.0,
+        noise=0.5,
+        outlier_fraction=0.15,
+        match_fraction=0.9,
+    )
+    pairs = str(tmp_path / "pairs.bin")
+    write_pairs(pairs, graph)
+    cap = 1500
+
+    cfg = GroupConfig(
+        linear_iterations=12,
+        deformable_levels=1,
+        deformable_iterations=12,
+        initial_grid_size=GRID_SIZE,
+        guarantee_diffeomorphism=False,
+        em_max_samples=cap,
+        em_sampling="stride",
+        verbose=False,
+    )
+    reg = GroupRegistration(graph, cfg)
+    reg.run()
+
+    dump = str(tmp_path / "dump.json")
+    p_pad = reg.arrays.xyz.shape[1]
+    k_pad = reg.arrays.link_dst.shape[2]
+    subprocess.run(
+        [BIN, pairs, "12", "12", str(GRID_SIZE), str(cap), dump,
+         "1", "0", "0.4", "0", "0.02", "", "0", "0", "0", "0",
+         str(p_pad), str(k_pad)],
+        check=True,
+        capture_output=True,
+    )
+    with open(dump) as f:
+        native = json.load(f)
+
+    # identical sample sets: agreement is f32-vs-double only (measured
+    # ~4e-6 max E rel here, vs ~4e-4 for the compact-stride oracle)
+    es = np.asarray([m.E for m in reg.measures])
+    native_es = np.asarray(native["es_linear"] + native["es_deform"])
+    np.testing.assert_allclose(es, native_es, rtol=1e-4)
+    em = np.asarray(reg.arrays.em)
+    native_em = np.asarray([im["em"] for im in native["images"]])
+    np.testing.assert_allclose(em, native_em, rtol=1e-3)
+
+
 def test_final_coefficients_match(parity_runs):
     native, reg = parity_runs
     dims = native["grid"]["dims"]
