@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["integral_volume", "descriptors", "descriptors_dense", "dense_haar", "dense_haar_multi"]
+__all__ = [
+    "integral_volume", "descriptors", "descriptors_dense", "dense_haar",
+    "dense_haar_multi", "dense_haar_table", "descriptors_from_table",
+    "haar_table_sizes",
+]
 
 # Subregion sample grid: SAMPLES^3 Haar samples per subregion.
 SAMPLES = 5
@@ -278,6 +282,59 @@ def _pool_descriptor(dx, dy, dz, gw, sub):
     return desc / jnp.maximum(norm, 1e-12)
 
 
+def haar_table_sizes(lobes: tuple):
+    """Unique dense-Haar half-widths for a lobe stack, and the per-lobe
+    slot mapping (shared by the table builder and the gather half)."""
+    sizes = [max(int(round(1.2 * 3 * m / 9.0)), 1) for m in lobes]
+    uniq = sorted(set(sizes))
+    slot = {s: i for i, s in enumerate(uniq)}
+    return tuple(uniq), tuple(slot[s] for s in sizes)
+
+
+def dense_haar_table(volume: jax.Array, lobes: tuple, dtype=jnp.bfloat16):
+    """Volume-only half of :func:`descriptors_dense`: the packed per-voxel
+    [dx, dy, dz] Haar table for every unique scale, (u * X*Y*Z, 3).
+
+    Depends ONLY on the volume — split out so its executable compiles (and
+    can dispatch) concurrently with the detector on a cold start.  One
+    packed table row per voxel: the whole Haar triple rides a SINGLE
+    gather — TPU gather cost is per index (one tile regardless of row
+    width, see kernels._dst_table), 3x fewer tile fetches than separate
+    dx/dy/dz gathers."""
+    uniq, _ = haar_table_sizes(lobes)
+    dxs, dys, dzs = dense_haar_multi(volume, uniq)  # each (u, X, Y, Z)
+    return jnp.stack([dxs, dys, dzs], axis=-1).astype(dtype).reshape(-1, 3)
+
+
+def descriptors_from_table(
+    table: jax.Array,  # (u * X*Y*Z, 3) packed Haar triples
+    shape: tuple,  # static volume dims (X, Y, Z)
+    positions: jax.Array,  # (K, 3) f32 voxel coords
+    sigmas: jax.Array,  # (K,) voxels
+    scale_idx: jax.Array,  # (K,) i32 index into lobes
+    lobes: tuple,
+):
+    """Gather half of :func:`descriptors_dense`: 3 table reads per sample
+    + Gaussian-weighted subregion pooling."""
+    _, lobe_slots = haar_table_sizes(lobes)
+    scale_to_slot = jnp.asarray(lobe_slots, jnp.int32)
+
+    flat_offs, gw, sub = _sample_offsets()
+    pos = positions[:, None, :] + sigmas[:, None, None] * flat_offs[None]
+    dims = jnp.asarray(shape, jnp.int32)
+    centers = jnp.clip(jnp.round(pos).astype(jnp.int32), 0, dims - 1)
+    vox = (
+        centers[..., 0] * (shape[1] * shape[2])
+        + centers[..., 1] * shape[2]
+        + centers[..., 2]
+    )  # (K, M)
+    nvox = shape[0] * shape[1] * shape[2]
+    idx = scale_to_slot[scale_idx][:, None] * nvox + vox
+
+    g = table[idx].astype(jnp.float32)  # (K, M, 3)
+    return _pool_descriptor(g[..., 0], g[..., 1], g[..., 2], gw, sub)
+
+
 def descriptors_dense(
     volume: jax.Array,
     positions: jax.Array,  # (K, 3) f32 voxel coords
@@ -293,33 +350,15 @@ def descriptors_dense(
     values.  |d.| channels are elementwise on the gathered samples.
     ``dtype``=bf16 halves the gather bandwidth; descriptors are
     normalized sums of hundreds of samples, so the 0.4% relative error is
-    noise (validated by the matching-power metrics)."""
-    sizes = [max(int(round(1.2 * 3 * m / 9.0)), 1) for m in lobes]
-    uniq = sorted(set(sizes))
-    slot = {s: i for i, s in enumerate(uniq)}
-    scale_to_slot = jnp.asarray([slot[s] for s in sizes], jnp.int32)
+    noise (validated by the matching-power metrics).
 
-    # One packed table row per voxel: [dx, dy, dz] side by side, so the
-    # whole Haar triple rides a SINGLE gather — TPU gather cost is per
-    # index (one tile regardless of row width, see kernels._dst_table),
-    # so this is 3x fewer tile fetches than separate dx/dy/dz gathers.
-    dxs, dys, dzs = dense_haar_multi(volume, tuple(uniq))  # each (u,X,Y,Z)
-    table = jnp.stack([dxs, dys, dzs], axis=-1).astype(dtype).reshape(-1, 3)
-
-    flat_offs, gw, sub = _sample_offsets()
-    pos = positions[:, None, :] + sigmas[:, None, None] * flat_offs[None]
-    dims = jnp.asarray(volume.shape, jnp.int32)
-    centers = jnp.clip(jnp.round(pos).astype(jnp.int32), 0, dims - 1)
-    vox = (
-        centers[..., 0] * (volume.shape[1] * volume.shape[2])
-        + centers[..., 1] * volume.shape[2]
-        + centers[..., 2]
-    )  # (K, M)
-    nvox = volume.shape[0] * volume.shape[1] * volume.shape[2]
-    idx = scale_to_slot[scale_idx][:, None] * nvox + vox
-
-    g = table[idx].astype(jnp.float32)  # (K, M, 3)
-    return _pool_descriptor(g[..., 0], g[..., 1], g[..., 2], gw, sub)
+    Composition of :func:`dense_haar_table` + :func:`descriptors_from_table`
+    (kept split so the extract pipeline compiles the halves concurrently).
+    """
+    table = dense_haar_table(volume, lobes, dtype)
+    return descriptors_from_table(
+        table, tuple(volume.shape), positions, sigmas, scale_idx, lobes
+    )
 
 
 @partial(jax.jit, static_argnames=())

@@ -52,36 +52,26 @@ class SurfParams:
 from functools import partial
 
 
-@partial(
-    jax.jit,
-    static_argnames=("lobes", "n_points", "subvoxel", "use_mask",
-                     "exact_topk"),
-)
-def _detect_device(
+@partial(jax.jit, static_argnames=("lobes", "use_mask"))
+def _detect_responses(
     data,  # (X, Y, Z) f32 isotropic volume, already on device
     mask_vals,  # (X, Y, Z) bool or None
     extent,  # (3,) i32 true (unpadded) dims; peaks beyond are dropped
     lobes: tuple,
-    n_points: int,
     threshold: float,
-    subvoxel: bool,
     use_mask: bool,
-    exact_topk: bool = False,
 ):
-    """Detector half of the extraction pipeline: scale-stack responses,
-    NMS, top-k, sub-voxel refinement — packed into the (k, 7) header.
+    """First detector half: scale-stack Hessian responses + NMS + border/
+    mask gating.  Returns (responses, laps, peaks) — device-resident, so
+    the split costs one HBM round-trip of the scale stack (~1 ms at bench
+    scale) and nothing over the host tunnel.
 
-    Only O(n_points) outputs cross back to the host — essential when the
-    device is remote-attached (host<->device bandwidth is the bottleneck,
-    not compute).  The volume is bucket-padded to shared shapes so one
-    compile serves many volumes; ``extent`` masks the padded band.
-
-    Split from the descriptor half so the two executables COMPILE IN
-    PARALLEL on a cold start (extract_keypoints_async pre-warms the
-    descriptor on an aot thread while this compile blocks inline); the
-    split point carries only O(n_points) device-resident intermediates,
-    so the warm path is unchanged.
-    """
+    The detector is split THREE ways (responses | top-k | descriptors)
+    because compile time through the remote-compile service is super-
+    linear in program size: the fused whole measured 88 s to compile
+    where the halves measure ~11 s EACH, and the top-k/descriptor halves
+    pre-warm on aot threads (extract_keypoints_async) so a cold start
+    pays ~max of the compiles instead of their fused blow-up."""
     responses, laps = detect(data, lobes)
     laps = laps.astype(jnp.int8)
     peaks = non_max_mask(responses, threshold)
@@ -90,7 +80,29 @@ def _detect_device(
         peaks = peaks & (idx < extent[ax])
     if use_mask:
         peaks = peaks & (mask_vals > 0)[None]
+    return responses, laps, peaks
 
+
+@partial(
+    jax.jit,
+    static_argnames=("lobes", "n_points", "subvoxel", "exact_topk"),
+)
+def _detect_topk(
+    responses,  # (S, X, Y, Z) f32 scale-stack responses
+    laps,  # (S, X, Y, Z) i8 laplacian signs
+    peaks,  # (S, X, Y, Z) bool NMS survivors
+    lobes: tuple,
+    n_points: int,
+    subvoxel: bool,
+    exact_topk: bool = False,
+):
+    """Second detector half: top-k by response, sub-voxel refinement —
+    packed into the (k, 7) header.
+
+    Only O(n_points) outputs cross back to the host — essential when the
+    device is remote-attached (host<->device bandwidth is the bottleneck,
+    not compute).  The volume is bucket-padded to shared shapes so one
+    compile serves many volumes."""
     flat_resp = jnp.where(peaks, responses, -jnp.inf).reshape(-1)
     k = min(n_points, flat_resp.shape[0])
     if exact_topk or flat_resp.shape[0] % 16 or flat_resp.shape[0] // 16 <= k:
@@ -172,11 +184,9 @@ def _detect_device(
 
 @partial(jax.jit, static_argnames=("lobes", "descriptor", "raw_radius"))
 def _describe_device(data, header, s_idx, lobes, descriptor, raw_radius):
-    """Descriptor half: Haar descriptors (or raw subvolumes) at the
-    detected keypoints.  Ships bf16 — descriptors are normalized sums of
-    hundreds of Haar samples already computed from bf16 volumes; the 0.4%
-    quantization is below the matching-power noise floor
-    (tests/test_descriptor_metrics.py)."""
+    """Raw-subvolume descriptor executable (surf3d -type 1).  The default
+    surf descriptor takes the split _describe_table/_describe_gather path
+    below instead (halved cold-compile time)."""
     pos = header[:, 0:3]
     sigma_vox = header[:, 3]
     if descriptor == "raw":
@@ -184,6 +194,32 @@ def _describe_device(data, header, s_idx, lobes, descriptor, raw_radius):
     from .descriptor import descriptors_dense
 
     desc = descriptors_dense(data, pos, sigma_vox, s_idx, lobes)
+    return desc.astype(jnp.bfloat16)
+
+
+@partial(jax.jit, static_argnames=("lobes",))
+def _describe_table(data, lobes):
+    """Volume-only descriptor half: dense per-scale Haar table.  Depends
+    only on the volume, so it dispatches right after the resample and its
+    compile overlaps the detector halves' (see _detect_responses on why
+    the pipeline is split into small programs)."""
+    from .descriptor import dense_haar_table
+
+    return dense_haar_table(data, lobes)
+
+
+@partial(jax.jit, static_argnames=("lobes", "shape"))
+def _describe_gather(table, header, s_idx, lobes, shape):
+    """Keypoint descriptor half: 3 table reads per Haar sample + pooling.
+    Ships bf16 — descriptors are normalized sums of hundreds of Haar
+    samples already computed from bf16 volumes; the 0.4% quantization is
+    below the matching-power noise floor
+    (tests/test_descriptor_metrics.py)."""
+    from .descriptor import descriptors_from_table
+
+    desc = descriptors_from_table(
+        table, shape, header[:, 0:3], header[:, 3], s_idx, lobes
+    )
     return desc.astype(jnp.bfloat16)
 
 
@@ -254,49 +290,115 @@ def extract_keypoints_async(
         mask_vals = trilinear_sample(mdata, jnp.stack([cx, cy, cz], axis=-1)) > 0
 
     lobes = tuple(scale_stack_sizes(params.n_octaves))
-    _warm_describe(data, params, lobes)
-    header, s_idx = _detect_device(
+    futs = _warm_extract_kernels(data, params, lobes)
+
+    def _join(name):
+        # The warm threads compile the downstream executables while the
+        # response-stack compile blocks inline; JOIN each warm before its
+        # inline call — calling into a still-compiling signature would
+        # start a DUPLICATE compile (jit does not dedupe in-flight
+        # compiles across threads) and saturate the remote service.
+        f = futs.get(name)
+        if f is not None:
+            f.result()
+
+    responses, laps, peaks = _detect_responses(
         data,
         mask_vals if mask_vals is not None else jnp.zeros((1, 1, 1), bool),
         jnp.asarray(extent, jnp.int32),
         lobes,
-        params.n_points,
         params.threshold,
-        params.subvoxel,
         mask_vals is not None,
+    )
+    _join("topk")
+    header, s_idx = _detect_topk(
+        responses,
+        laps,
+        peaks,
+        lobes,
+        params.n_points,
+        params.subvoxel,
         params.exact_topk,
     )
-    desc = _describe_device(
-        data, header, s_idx, lobes, params.descriptor, params.raw_radius
-    )
+    if params.descriptor == "raw":
+        _join("raw")
+        desc = _describe_device(
+            data, header, s_idx, lobes, params.descriptor, params.raw_radius
+        )
+    else:
+        _join("table")
+        table = _describe_table(data, lobes)
+        _join("gather")
+        desc = _describe_gather(
+            table, header, s_idx, lobes, tuple(data.shape)
+        )
     return (header, desc), iso_origin, params
 
 
-_warmed_describe: set = set()
+_extract_warm_futures: dict = {}
 
 
-def _warm_describe(data, params: SurfParams, lobes: tuple):
-    """Fire the descriptor executable's compile on an aot thread (with
-    throwaway inputs on the already-uploaded volume) so it proceeds IN
-    PARALLEL with the detector compile the caller is about to block on.
-    No-op after the first volume of a given signature."""
+def _warm_extract_kernels(data, params: SurfParams, lobes: tuple) -> dict:
+    """Fire the top-k and descriptor executables' compiles on aot threads
+    (with throwaway inputs on the already-uploaded volume) so they proceed
+    IN PARALLEL with the response-stack compile the caller is about to
+    block on: a cold start pays ~max(compile times) instead of their sum
+    (and far less than the fused single program's compile — see
+    _detect_responses).
+
+    Returns {stage-name: Future} for the caller to JOIN before each
+    inline call (see extract_keypoints_async._join).  One warm set per
+    signature: later volumes reuse the (completed) futures."""
     key = (data.shape, params.n_points, params.descriptor, params.raw_radius,
-           lobes)
-    if key in _warmed_describe:
-        return
-    _warmed_describe.add(key)
+           params.subvoxel, params.exact_topk, lobes)
+    cached = _extract_warm_futures.get(key)
+    if cached is not None:
+        return cached
     from ...utils import aot
 
+    futs: dict = {}
+    _extract_warm_futures[key] = futs
+
     k = min(params.n_points, int(np.prod(data.shape)) * len(lobes))
-    aot.warm(
-        _describe_device,
-        data,
-        jnp.zeros((k, 7), jnp.float32),
-        jnp.zeros((k,), jnp.int32),
+    s_shape = (len(lobes),) + tuple(data.shape)
+    futs["topk"] = aot.warm(
+        _detect_topk,
+        jnp.zeros(s_shape, jnp.float32),
+        jnp.zeros(s_shape, jnp.int8),
+        jnp.zeros(s_shape, bool),
         lobes,
-        params.descriptor,
-        params.raw_radius,
+        params.n_points,
+        params.subvoxel,
+        params.exact_topk,
     )
+    if params.descriptor == "raw":
+        futs["raw"] = aot.warm(
+            _describe_device,
+            data,
+            jnp.zeros((k, 7), jnp.float32),
+            jnp.zeros((k,), jnp.int32),
+            lobes,
+            params.descriptor,
+            params.raw_radius,
+        )
+    else:
+        from .descriptor import haar_table_sizes
+
+        uniq, _ = haar_table_sizes(lobes)
+        n_rows = len(uniq) * int(np.prod(data.shape))
+        futs["table"] = aot.warm(_describe_table, data, lobes)
+        futs["gather"] = aot.warm(
+            _describe_gather,
+            jnp.zeros((n_rows, 3), jnp.bfloat16),
+            jnp.zeros((k, 7), jnp.float32),
+            jnp.zeros((k,), jnp.int32),
+            lobes,
+            tuple(data.shape),
+        )
+    # aot.warm returns None when warming is disabled (FROG_AOT=0) or the
+    # signature was already warmed elsewhere; _join treats None as
+    # nothing-to-wait-for
+    return futs
 
 
 def finalize_keypoints(device_results, iso_origin, params) -> Keypoints:
