@@ -62,6 +62,11 @@ LEVELS = int(os.environ.get("FROG_BENCH_LEVELS", 3))
 GRID_SIZE = float(os.environ.get("FROG_BENCH_GRID", 100.0))
 MAX_DISTANCE = float(os.environ.get("FROG_BENCH_DIST", 1.0))
 SECOND_RATIO = float(os.environ.get("FROG_BENCH_RATIO", 0.9))
+REPEATS = int(os.environ.get("FROG_BENCH_REPEATS", 3))
+# table-stride EM parity: C++ oracle mirrors the TPU's EM subsample so
+# the diffeomorphism-guard schedules must agree decision-for-decision
+EM_TABLE_PARITY = os.environ.get("FROG_BENCH_EM_TABLE", "1") != "0"
+SWEEP_SEEDS = int(os.environ.get("FROG_BENCH_SWEEP", 3))
 CPP_PAIRS = int(os.environ.get("FROG_BENCH_CPP_PAIRS", 3))
 CPP_EXTRACTS = int(os.environ.get("FROG_BENCH_CPP_EXTRACTS", 2))
 CPP_LIN_ITERS = int(os.environ.get("FROG_BENCH_CPP_LIN", 10))
@@ -71,6 +76,10 @@ WORKDIR = os.environ.get("FROG_BENCH_DIR", "/tmp/frog_bench_ref")
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _spread(vals):
+    return (max(vals) - min(vals)) / 2.0
 
 
 def ensure_binaries():
@@ -117,7 +126,10 @@ def run_tpu(volumes):
     os.makedirs(out_dir, exist_ok=True)
     surf = SurfParams(spacing=SPACING, threshold=0.0, n_points=N_POINTS)
 
-    # ---- extract (cold = includes the one compile; warm = re-run subset)
+    # ---- extract (cold = includes the one compile; warm = REPEATED
+    # subset re-runs, median +- spread: the chip and its compile service
+    # are shared, so a single contended measurement must not smear the
+    # round's record — the JSON value is the median of 3)
     from frog_tpu.ops.matcher import warm_matcher
 
     warm_matcher(N_POINTS)  # matcher compiles overlap extraction
@@ -127,11 +139,15 @@ def run_tpu(volumes):
     n_warm = min(6, len(volumes))  # enough volumes to amortize pipeline fill
     warm_dir = os.path.join(WORKDIR, "tpu_warm")
     os.makedirs(warm_dir, exist_ok=True)
-    t0 = time.time()
-    extract_stage(volumes[:n_warm], surf, warm_dir, verbose=False)
-    t_extract = (time.time() - t0) / n_warm * N_IMAGES
+    ex_reps = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        extract_stage(volumes[:n_warm], surf, warm_dir, verbose=False)
+        ex_reps.append((time.time() - t0) / n_warm * N_IMAGES)
+    t_extract = float(np.median(ex_reps))
     log(f"TPU extract: cold {t_extract_cold:.1f}s for {N_IMAGES} volumes,"
-        f" warm {t_extract:.1f}s ({t_extract / N_IMAGES:.2f}s/volume)")
+        f" warm {t_extract:.1f}s +- {_spread(ex_reps):.1f}s over {REPEATS}"
+        f" ({t_extract / N_IMAGES:.2f}s/volume)")
 
     # ---- match
     params = MatchParams(max_distance=MAX_DISTANCE, second_ratio=SECOND_RATIO)
@@ -139,11 +155,16 @@ def run_tpu(volumes):
     t0 = time.time()
     graph = match_stage(kp_files, params, out_file=pairs_file, verbose=False)
     t_match_cold = time.time() - t0
-    t0 = time.time()
-    graph = match_stage(kp_files, params, out_file=pairs_file, verbose=False)
-    t_match = time.time() - t0
+    ma_reps = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        graph = match_stage(kp_files, params, out_file=pairs_file,
+                            verbose=False)
+        ma_reps.append(time.time() - t0)
+    t_match = float(np.median(ma_reps))
     n_pairs = N_IMAGES * (N_IMAGES - 1) // 2
     log(f"TPU match: cold {t_match_cold:.1f}s, warm {t_match:.1f}s"
+        f" +- {_spread(ma_reps):.1f}s over {REPEATS}"
         f" ({n_pairs} pairs, {graph.n_matches} matches)")
 
     # ---- register
@@ -162,13 +183,17 @@ def run_tpu(volumes):
     reg = GroupRegistration(graph, cfg)
     reg.run()
     t_reg_cold = time.time() - t0
-    t0 = time.time()
-    reg = GroupRegistration(graph, cfg)
-    reg.run()
-    t_reg = time.time() - t0
+    re_reps = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        reg = GroupRegistration(graph, cfg)
+        reg.run()
+        re_reps.append(time.time() - t0)
+    t_reg = float(np.median(re_reps))
     es = [m.E for m in reg.measures]
     n_iters = len(es)
     log(f"TPU register: cold {t_reg_cold:.1f}s, warm {t_reg:.1f}s"
+        f" +- {_spread(re_reps):.1f}s over {REPEATS}"
         f" ({n_iters} iters, {n_iters / t_reg:.1f} iters/s,"
         f" grids/level {reg.grids_per_level})")
     log(f"quality: E {es[0]:.3f} -> {es[LINEAR_ITERS - 1]:.3f} (linear)"
@@ -200,10 +225,6 @@ def tre_tpu(reg, probes):
 
 
 # --------------------------------------------------------------------- CPU
-
-def _spread(vals):
-    return (max(vals) - min(vals)) / 2.0
-
 
 def cpu_extract_once(volumes):
     from frog_tpu.io.mhd import read_volume
@@ -266,21 +287,30 @@ def cpu_register_extrapolated(pairs_file):
             + em_per * n_em_full)
 
 
-def cpu_register_full(pairs_file, probes):
+def cpu_register_full(pairs_file, probes, em_table=None):
     """ONE full (non-extrapolated) run of the reference schedule with the
     diffeomorphism guarantee ON — the C++ wall-clock the TPU register
     stage is compared against — carrying the GT probes through every
-    transform and dumping the E trajectory for the parity check."""
+    transform and dumping the E trajectory for the parity check.
+
+    ``em_table`` = (P, K) of the TPU run's padded link table arms the
+    TABLE-STRIDE EM parity mode (baseline_frog.cpp argv 17/18): both
+    optimizers then draw the IDENTICAL EM subsample, so the trajectories
+    and the diffeomorphism-guard decisions are comparable
+    decision-for-decision (group.py::_em_stride)."""
     bin_path = os.path.join(ROOT, "native", "baseline_frog")
     probes_bin = os.path.join(WORKDIR, "cpp_probes.bin")
     with open(probes_bin, "wb") as f:
         np.asarray([probes.shape[0], probes.shape[1]], np.int32).tofile(f)
         probes.astype(np.float32).tofile(f)
     dump = os.path.join(WORKDIR, "cpp_full_dump.json")
+    cmd = [bin_path, pairs_file, str(LINEAR_ITERS), str(DEFORM_ITERS),
+           str(GRID_SIZE), "10000", dump, str(LEVELS), "1", "0.4", "0",
+           "0.02", probes_bin]
+    if em_table is not None:
+        cmd += ["0", "0", "0", "0", str(em_table[0]), str(em_table[1])]
     out = subprocess.run(
-        [bin_path, pairs_file, str(LINEAR_ITERS), str(DEFORM_ITERS),
-         str(GRID_SIZE), "10000", dump, str(LEVELS), "1", "0.4", "0",
-         "0.02", probes_bin],
+        cmd,
         capture_output=True, text=True, check=True,
     )
     r = json.loads(out.stdout)
@@ -313,13 +343,23 @@ def quality_report(reg, cpp_dump, cpp_plin, cpp_pfin, probes):
     log(f"  TPU deformable : {tfm:7.2f} / {tfx:7.2f}   C++ final : "
         f"{cfm:7.2f} / {cfx:7.2f}")
     assert tfm < 0.5 * t0m, "TPU registration must reduce GT TRE >= 2x"
-    assert abs(tfm - cfm) < 0.25 * max(cfm, 0.5), (
-        f"TPU final TRE {tfm:.2f} vs C++ {cfm:.2f} diverge"
+    # a 2x TRE regression must FAIL this gate: 10% of the C++ final TRE,
+    # floored at 0.02 mm (far under the synthetic fixture's noise)
+    assert abs(tfm - cfm) < max(0.1 * cfm, 0.02), (
+        f"TPU final TRE {tfm:.3f} vs C++ {cfm:.3f} diverge"
     )
 
-    # E-trajectory parity (f32 fused scans vs C++ double accumulation
-    # over ~10M links; guard trips may shift deformable iterations, so
-    # the strict gate is on the linear stage + the final E)
+    # E-trajectory parity.  With the table-stride EM mode both sides draw
+    # the IDENTICAL EM subsample (bitwise — tests/test_parity_native.py::
+    # test_em_table_stride_sample_sets_bitwise_equal), so the residual
+    # divergence is pure arithmetic.  The measured decomposition
+    # (docs/BENCHMARKS.md "Strict parity"): with a SHARED libm the whole
+    # guarded schedule binds decision-for-decision (grids equal, E rel
+    # ~4e-5 — the CPU referee test); on TPU HARDWARE the EM fixed point
+    # shifts ~3e-4 through the hardware exp (contraction-amplified ulps),
+    # bounding E rel at ~3e-3 and leaving knife-edge guard decisions
+    # legitimately forkable.  Gates below are those measured bounds; the
+    # fork_sweep line quantifies the fork rate on hardware.
     es_tpu = np.asarray([m.E for m in reg.measures])
     es_cpp = np.asarray(cpp_dump["es_linear"] + cpp_dump["es_deform"])
     n_lin = len(cpp_dump["es_linear"])
@@ -327,26 +367,122 @@ def quality_report(reg, cpp_dump, cpp_plin, cpp_pfin, probes):
     k = min(len(es_tpu), len(es_cpp))
     rel_all = np.abs(es_tpu[:k] - es_cpp[:k]) / es_cpp[:k]
     same_grids = list(reg.grids_per_level) == list(cpp_dump["grids_per_level"])
+    # compare the trajectories only while the guard schedules agree: the
+    # first fork inserts a fresh-grid retry on one side and the iteration
+    # streams stop being alignable
+    tg, cg = list(reg.grids_per_level), list(cpp_dump["grids_per_level"])
+    n_pref = n_lin
+    for lvl in range(min(len(tg), len(cg))):
+        if tg[lvl] != cg[lvl]:
+            break
+        n_pref += DEFORM_ITERS
+    n_pref = min(n_pref, k)
+    rel_pref = np.abs(es_tpu[:n_pref] - es_cpp[:n_pref]) / es_cpp[:n_pref]
     log(f"E-trajectory parity vs C++ oracle ({k} iters): linear median rel"
         f" {np.median(rel_lin):.2e} max {rel_lin.max():.2e};"
+        f" pre-fork ({n_pref} iters) median {np.median(rel_pref):.2e};"
         f" overall median {np.median(rel_all):.2e};"
         f" final E tpu {es_tpu[-1]:.4f} vs cpp {es_cpp[-1]:.4f};"
-        f" grids/level tpu {reg.grids_per_level} vs cpp"
-        f" {cpp_dump['grids_per_level']}")
+        f" grids/level tpu {tg} vs cpp {cg}")
     assert np.median(rel_lin) < 5e-3, "linear-stage E parity broken"
+    assert np.median(rel_pref) < 1e-2, "aligned-schedule E parity broken"
     if same_grids:
         assert abs(es_tpu[-1] - es_cpp[-1]) / es_cpp[-1] < 0.05, (
             "final E diverges from C++ oracle"
         )
     else:
-        # A diffeomorphism-guard trip on one side only (stochastic EM
-        # subsampling cascades into the guard decision, imageGroup.cxx:97)
-        # legitimately forks the schedules: the strict gate then is the
-        # GT TRE agreement above, plus both optimizers converging hard.
-        log("  (guard schedules differ: final-E compared via convergence"
-            " ratio, accuracy via TRE above)")
+        # A knife-edge guard decision forked (hardware-exp EM shift, see
+        # above): schedules legitimately differ from that level on.  The
+        # binding gates are the aligned-prefix parity above, the GT TRE
+        # agreement (0.1 gate), and hard convergence on both sides.
+        log(f"  GUARD FORK at level {lvl + 1}: schedules diverge past"
+            f" iter {n_pref} (hardware-exp EM shift, measured ~3e-4;"
+            " see docs/BENCHMARKS.md)")
         assert es_tpu[-1] < 0.05 * es_tpu[0], "TPU E failed to converge"
         assert es_cpp[-1] < 0.05 * es_cpp[0], "C++ E failed to converge"
+
+
+def fork_sweep(seeds=3):
+    """Guard-fork statistics at small scale: for each seed run the TPU
+    optimizer and the C++ oracle (table-stride EM, identical subsamples)
+    on the same synthetic group with the diffeomorphism guarantee ON, and
+    report how often the guard schedules fork plus the TRE spread —
+    making 'stochastic EM forks the schedule' a measured statement
+    (imageGroup.cxx:88-121).  Same shapes across seeds -> one compile."""
+    from frog_tpu.io.pairs import write_pairs
+    from frog_tpu.registration import GroupConfig, GroupRegistration
+    from tests.synthetic import make_synthetic_group, tre_stats
+
+    bin_path = os.path.join(ROOT, "native", "baseline_frog")
+    forks, tre_t, tre_c = 0, [], []
+    for seed in range(101, 101 + seeds):
+        # warp/alpha chosen so the guard genuinely trips (several stacked
+        # grids + alpha halvings per run) — fork-PRONE decisions, not a
+        # vacuous guard
+        graph, truth = make_synthetic_group(
+            seed=seed, n_images=6, n_points=2000, extent=300.0,
+            warp_amp=18.0, noise=0.5, outlier_fraction=0.1,
+            match_fraction=0.9,
+        )
+        cap = 2000
+        cfg = GroupConfig(
+            linear_iterations=20, deformable_levels=2,
+            deformable_iterations=40, initial_grid_size=80.0,
+            deformable_alpha=0.2, guarantee_diffeomorphism=True,
+            em_max_samples=cap, verbose=False,
+        )
+        reg = GroupRegistration(graph, cfg)
+        reg.run()
+
+        pairs = os.path.join(WORKDIR, f"sweep_{seed}.bin")
+        write_pairs(pairs, graph)
+        # GT probes: each image's exact (noise-free) view of a cloud
+        # subset rides the C++ transforms via the probes side channel
+        sel = np.arange(0, 2000, 20)
+        probes = np.stack(
+            [t["inv"](truth["cloud"][sel]) for t in truth["images"]]
+        ).astype(np.float32)
+        probes_bin = os.path.join(WORKDIR, f"sweep_{seed}_probes.bin")
+        with open(probes_bin, "wb") as f:
+            np.asarray([probes.shape[0], probes.shape[1]], np.int32).tofile(f)
+            probes.tofile(f)
+        dump = os.path.join(WORKDIR, f"sweep_{seed}.json")
+        p_pad = reg.arrays.xyz.shape[1]
+        k_pad = reg.arrays.link_dst.shape[2]
+        subprocess.run(
+            [bin_path, pairs, "20", "40", "80.0", str(cap), dump, "2", "1",
+             "0.4", "0", "0.2", probes_bin, "0", "0", "0", "0",
+             str(p_pad), str(k_pad)],
+            capture_output=True, text=True, check=True,
+        )
+        with open(dump) as f:
+            d = json.load(f)
+        forked = list(reg.grids_per_level) != list(d["grids_per_level"])
+        if forked:
+            forks += 1
+        log(f"  seed {seed}: grids/level tpu {reg.grids_per_level} vs cpp"
+            f" {d['grids_per_level']}"
+            f" ({sum(reg.grids_per_level) - 2} guard trips)"
+            + ("  <-- FORK" if forked else ""))
+        # TPU-side TRE through the final chains; C++-side via probes out
+        import jax.numpy as jnp
+
+        fin = np.stack([
+            np.asarray(reg.chains[i](jnp.asarray(probes[i])))
+            for i in range(probes.shape[0])
+        ])
+        n, m = probes.shape[:2]
+        raw = np.fromfile(probes_bin + ".out", np.float32)
+        cfin = raw[n * m * 3:].reshape(n, m, 3)
+        tre_t.append(tre_stats(fin)[0])
+        tre_c.append(tre_stats(cfin)[0])
+    tre_t, tre_c = np.asarray(tre_t), np.asarray(tre_c)
+    log(f"fork sweep ({seeds} seeds, guard ON, identical EM subsamples):"
+        f" {forks}/{seeds} guard-schedule forks;"
+        f" TRE tpu {tre_t.mean():.3f} +- {tre_t.std():.3f} mm"
+        f" vs cpp {tre_c.mean():.3f} +- {tre_c.std():.3f} mm"
+        f" (max |diff| {np.abs(tre_t - tre_c).max():.3f})")
+    return forks, tre_t, tre_c
 
 
 def main():
@@ -375,8 +511,16 @@ def main():
         f" ({CPP_PAIRS} pairs scaled to {n_pairs})")
 
     if os.environ.get("FROG_BENCH_CPP_FULL", "1") != "0":
+        em_table = None
+        if EM_TABLE_PARITY:
+            em_table = (
+                int(reg.arrays.xyz.shape[1]),
+                int(reg.arrays.link_dst.shape[2]),
+            )
+            log(f"parity leg: table-stride EM (P={em_table[0]},"
+                f" K={em_table[1]}) — identical subsamples on both sides")
         t_full, r_full, cpp_dump, cpp_plin, cpp_pfin = cpu_register_full(
-            pairs_file, probes
+            pairs_file, probes, em_table=em_table
         )
         log(f"CPU register: {t_full:.1f}s FULL measured run"
             f" ({r_full['threads']} threads,"
@@ -387,6 +531,9 @@ def main():
     else:
         t_register = extrapolated
         log(f"CPU register: {t_register:.1f}s extrapolated")
+
+    if SWEEP_SEEDS:
+        fork_sweep(SWEEP_SEEDS)
 
     cpu = {
         "extract": float(np.median(ex_runs)),

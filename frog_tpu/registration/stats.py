@@ -45,15 +45,32 @@ def _responsibility(d, c1, c2, ratio):
     return f1 / (f1 + f2 + 1e-16)
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+@partial(jax.jit, static_argnames=("max_iterations", "settle"))
 def estimate_mixture(
     distances: jax.Array,  # (N, L) per-image link distances
     valid: jax.Array,  # (N, L) bool
     params: jax.Array,  # (N, 3) warm-start (c1, c2, ratio)
     max_iterations: int = 10000,
     epsilon: float = 1e-6,
+    settle: int = 3,
 ) -> jax.Array:
-    """Run EM to convergence for every image simultaneously; returns (N, 3)."""
+    """Run EM to convergence for every image simultaneously; returns (N, 3).
+
+    ``settle`` runs that many EXTRA EM steps per image after the
+    reference's 0.1%-relative-change stop first fires (stats.cxx:49-51).
+    The stop is a knife edge: a ~1-ulp transcendental difference between
+    backends (TPU exp vs libm exp) can flip it by one iteration, which
+    perturbs the returned parameters by up to the full 0.1% tolerance and
+    — compounded through warm starts over hundreds of optimizer
+    iterations — measurably forks downstream decisions (the
+    diffeomorphism guard; measured at reference scale: E rel drift
+    2.9e-3 on TPU vs 3.6e-5 with identical libm).  Settling is
+    contractive: each extra step shrinks the distance to the EM fixed
+    point, so implementations that disagree only in ulps land on the
+    same parameters.  The default 3 is this framework's (and the C++
+    oracle's, baseline_frog.cpp::estimateEM) shared definition of
+    convergence — a strictly-deeper stop inside the reference's own
+    tolerance band; 0 reproduces the reference's stopping exactly."""
     d = distances
     w = valid.astype(jnp.float32)
 
@@ -78,21 +95,35 @@ def estimate_mixture(
         nratio = jnp.maximum(epsilon, sum2 / sum5)
         return jnp.stack([nc1, nc2, nratio], axis=1)
 
+    # per-image state: remaining = -1 (still iterating), k > 0 (k settle
+    # steps left), 0 (frozen)
     def cond(carry):
-        _, done, it = carry
-        return (~jnp.all(done)) & (it < max_iterations)
+        _, remaining, it = carry
+        return jnp.any(remaining != 0) & (it < max_iterations)
 
     def body(carry):
-        p, done, it = carry
+        p, remaining, it = carry
         new = em_step(p)
         rel = jnp.abs(p - new) / jnp.maximum(jnp.abs(new), 1e-30)
         converged = jnp.all(rel < 0.001, axis=1)
-        p = jnp.where(done[:, None], p, new)
-        return p, done | converged, it + 1
+        active = remaining != 0
+        p = jnp.where(active[:, None], new, p)
+        # the converging step itself applies its update (reference:
+        # params assigned before the break, stats.cxx:48-52), THEN the
+        # settle countdown starts
+        remaining = jnp.where(
+            (remaining < 0) & converged,
+            jnp.int32(settle),
+            jnp.where(remaining > 0, remaining - 1, remaining),
+        )
+        return p, remaining, it + 1
 
     has_samples = jnp.sum(valid, axis=1) > 0
     out, _, _ = jax.lax.while_loop(
-        cond, body, (params, ~has_samples, jnp.int32(0))
+        cond,
+        body,
+        (params, jnp.where(has_samples, jnp.int32(-1), jnp.int32(0)),
+         jnp.int32(0)),
     )
     return out
 

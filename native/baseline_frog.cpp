@@ -101,10 +101,23 @@ static inline float inlierProb(const ImageData& im, float d) {
     return x1 / (x1 + x2 + eps);
 }
 
+// After the reference's 0.1%-relative-change stop (stats.cxx:49-51)
+// fires, run kSettleSteps EXTRA iterations: the stop is a knife edge —
+// a ~1-ulp transcendental difference between libms/backends flips it by
+// one iteration, perturbing the returned parameters by up to the full
+// 0.1% tolerance, which compounds through warm starts across hundreds
+// of optimizer iterations and can fork the diffeomorphism-guard
+// schedule.  Settling is contractive, so implementations that disagree
+// only in ulps land on the same parameters.  Shared definition with the
+// TPU side (frog_tpu/registration/stats.py::estimate_mixture): a
+// strictly deeper stop inside the reference's own tolerance band.
+static const int kSettleSteps = 3;
+
 static void estimateEM(ImageData& im, const vector<float>& samples) {
     const float esp = 1.59576912160573f;
     const float eps = 1e-6f;
-    for (int it = 0; it < 10000; it++) {
+    int remaining = -1;  // -1 iterating, k > 0 settle steps left
+    for (int it = 0; it < 10000 && remaining != 0; it++) {
         double s1 = 0, s2 = 0, s3 = 0, s4 = 0, s5 = 0;
         for (float d : samples) {
             float f1 = im.ratio * chipdf(d / im.c1) / im.c1;
@@ -121,7 +134,8 @@ static void estimateEM(ImageData& im, const vector<float>& samples) {
                     fabsf((im.c2 - nc2) / nc2) < 0.001f &&
                     fabsf((nr - im.ratio) / nr) < 0.001f;
         im.c1 = nc1; im.c2 = nc2; im.ratio = nr;
-        if (done) break;
+        if (remaining > 0) remaining--;
+        else if (remaining < 0 && done) remaining = kSettleSteps;
     }
 }
 
