@@ -136,3 +136,50 @@ def test_pair_partitioning():
     for p in range(4):
         got.extend(partition_pairs(6, p, 4))
     assert sorted(got) == sorted(all_pairs)
+
+
+def test_multidevice_extraction_with_masks_equals_single(tmp_path):
+    """Round-robin multi-device extraction WITH mask volumes: the mask is
+    pinned to each volume's assigned device (extract.py
+    extract_keypoints_async), and the keypoints must equal the
+    single-device run's exactly."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    from frog_tpu.io.keypoints import read_keypoints
+    from frog_tpu.io.mhd import write_volume
+    from frog_tpu.io.volume import Volume
+    from frog_tpu.ops.surf3d import SurfParams
+    from frog_tpu.pipeline import extract_stage
+
+    rng = np.random.default_rng(11)
+    shape = (40, 40, 40)
+    g = np.stack(
+        np.meshgrid(*[np.arange(s, dtype=np.float32) for s in shape],
+                    indexing="ij"), -1)
+    vols, masks = [], []
+    for i in range(3):
+        data = np.zeros(shape, np.float32)
+        for c in rng.uniform(6, 34, (15, 3)):
+            data += np.float32(60.0) * np.exp(
+                -np.sum((g - c) ** 2, -1) / 6.0).astype(np.float32)
+        v = str(tmp_path / f"v{i}.nii.gz")
+        write_volume(v, Volume(data, origin=np.zeros(3), spacing=np.ones(3)))
+        vols.append(v)
+        m = np.zeros(shape, np.float32)
+        m[:, : 20 + 4 * i, :] = 1.0
+        mf = str(tmp_path / f"m{i}.nii.gz")
+        write_volume(mf, Volume(m, origin=np.zeros(3), spacing=np.ones(3)))
+        masks.append(mf)
+
+    surf = SurfParams(spacing=1.0, threshold=0.0, n_points=50)
+    one = extract_stage(vols, surf, str(tmp_path / "one"), masks=masks,
+                        verbose=False)
+    shd = extract_stage(vols, surf, str(tmp_path / "shd"), masks=masks,
+                        verbose=False, devices=3)
+    for i, (f1, f2) in enumerate(zip(one, shd)):
+        k1, k2 = read_keypoints(f1), read_keypoints(f2)
+        np.testing.assert_array_equal(k1.xyz, k2.xyz)
+        np.testing.assert_array_equal(k1.desc, k2.desc)
+        assert k1.xyz[:, 1].max() < 20 + 4 * i + 0.5  # mask respected
