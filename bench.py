@@ -62,7 +62,7 @@ LEVELS = int(os.environ.get("FROG_BENCH_LEVELS", 3))
 GRID_SIZE = float(os.environ.get("FROG_BENCH_GRID", 100.0))
 MAX_DISTANCE = float(os.environ.get("FROG_BENCH_DIST", 1.0))
 SECOND_RATIO = float(os.environ.get("FROG_BENCH_RATIO", 0.9))
-REPEATS = int(os.environ.get("FROG_BENCH_REPEATS", 3))
+REPEATS = max(1, int(os.environ.get("FROG_BENCH_REPEATS", 3)))
 # table-stride EM parity: C++ oracle mirrors the TPU's EM subsample so
 # the diffeomorphism-guard schedules must agree decision-for-decision
 EM_TABLE_PARITY = os.environ.get("FROG_BENCH_EM_TABLE", "1") != "0"
@@ -499,18 +499,19 @@ def main():
     probes = gt_correspondences(truths, n_probes=100)
     pairs_file = os.path.join(WORKDIR, "tpu_out", "pairs.bin")
 
-    # interleaved subset measurements: median + spread over 3 rounds
+    # interleaved subset measurements: median + spread over the same
+    # REPEATS count as the TPU warm loops (one knob, comparable medians)
     ex_runs, ma_runs = [], []
-    for rep in range(3):
+    for rep in range(REPEATS):
         ex_runs.append(cpu_extract_once(volumes))
         ma_runs.append(cpu_match_once(kp_files))
     extrapolated = cpu_register_extrapolated(pairs_file)
     n_pairs = N_IMAGES * (N_IMAGES - 1) // 2
     log(f"CPU extract: median {np.median(ex_runs):.1f}s"
-        f" +- {_spread(ex_runs):.1f}s over 3 runs"
+        f" +- {_spread(ex_runs):.1f}s over {REPEATS} runs"
         f" ({CPP_EXTRACTS} volumes scaled to {N_IMAGES})")
     log(f"CPU match: median {np.median(ma_runs):.1f}s"
-        f" +- {_spread(ma_runs):.1f}s over 3 runs"
+        f" +- {_spread(ma_runs):.1f}s over {REPEATS} runs"
         f" ({CPP_PAIRS} pairs scaled to {n_pairs})")
 
     if os.environ.get("FROG_BENCH_CPP_FULL", "1") != "0":

@@ -348,9 +348,20 @@ def _warm_extract_kernels(data, params: SurfParams, lobes: tuple) -> dict:
 
     Returns {stage-name: Future} for the caller to JOIN before each
     inline call (see extract_keypoints_async._join).  One warm set per
-    signature: later volumes reuse the (completed) futures."""
+    (signature, device placement): jit caches committed-to-device-k
+    calls separately from uncommitted ones, so the round-robin
+    multi-device path warms PER DEVICE with dummies committed exactly
+    like the real inputs — otherwise the warm compiles never match the
+    inline calls and every device pays its compiles serially inline
+    while the warm threads build never-used duplicates."""
+    # Committed arrays (the -devices path pins each volume's upload) put
+    # their placement in the jit cache key; mirror it on the dummies.
+    committed = bool(getattr(data, "committed", False)) or bool(
+        getattr(data, "_committed", False)
+    )
+    dev = getattr(data, "device", None) if committed else None
     key = (data.shape, params.n_points, params.descriptor, params.raw_radius,
-           params.subvoxel, params.exact_topk, lobes)
+           params.subvoxel, params.exact_topk, lobes, committed and dev)
     cached = _extract_warm_futures.get(key)
     if cached is not None:
         return cached
@@ -359,41 +370,52 @@ def _warm_extract_kernels(data, params: SurfParams, lobes: tuple) -> dict:
     futs: dict = {}
     _extract_warm_futures[key] = futs
 
+    def _dummy(shape, dtype):
+        z = jnp.zeros(shape, dtype)
+        if dev is not None:
+            z = jax.device_put(z, dev)
+        return z
+
     k = min(params.n_points, int(np.prod(data.shape)) * len(lobes))
     s_shape = (len(lobes),) + tuple(data.shape)
     futs["topk"] = aot.warm(
         _detect_topk,
-        jnp.zeros(s_shape, jnp.float32),
-        jnp.zeros(s_shape, jnp.int8),
-        jnp.zeros(s_shape, bool),
+        _dummy(s_shape, jnp.float32),
+        _dummy(s_shape, jnp.int8),
+        _dummy(s_shape, bool),
         lobes,
         params.n_points,
         params.subvoxel,
         params.exact_topk,
+        key=("warm_topk",) + key,
     )
     if params.descriptor == "raw":
         futs["raw"] = aot.warm(
             _describe_device,
             data,
-            jnp.zeros((k, 7), jnp.float32),
-            jnp.zeros((k,), jnp.int32),
+            _dummy((k, 7), jnp.float32),
+            _dummy((k,), jnp.int32),
             lobes,
             params.descriptor,
             params.raw_radius,
+            key=("warm_raw",) + key,
         )
     else:
         from .descriptor import haar_table_sizes
 
         uniq, _ = haar_table_sizes(lobes)
         n_rows = len(uniq) * int(np.prod(data.shape))
-        futs["table"] = aot.warm(_describe_table, data, lobes)
+        futs["table"] = aot.warm(
+            _describe_table, data, lobes, key=("warm_table",) + key
+        )
         futs["gather"] = aot.warm(
             _describe_gather,
-            jnp.zeros((n_rows, 3), jnp.bfloat16),
-            jnp.zeros((k, 7), jnp.float32),
-            jnp.zeros((k,), jnp.int32),
+            _dummy((n_rows, 3), jnp.bfloat16),
+            _dummy((k, 7), jnp.float32),
+            _dummy((k,), jnp.int32),
             lobes,
             tuple(data.shape),
+            key=("warm_gather",) + key,
         )
     # aot.warm returns None when warming is disabled (FROG_AOT=0) or the
     # signature was already warmed elsewhere; _join treats None as
