@@ -61,6 +61,19 @@ def _load():
         ctypes.c_int,
         ctypes.c_int,
     ]
+    lib.frogio_read_file.restype = ctypes.c_void_p
+    lib.frogio_read_file.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.frogio_write_file.restype = ctypes.c_int
+    lib.frogio_write_file.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+    ]
+    lib.frogio_free.restype = None
+    lib.frogio_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -81,6 +94,36 @@ def read_csv_matrix(path: str, cols: int, max_rows: int = 1 << 22):
     if n < 0:
         raise FileNotFoundError(path)
     return np.ascontiguousarray(out[:n])
+
+
+def read_file_bytes(path: str):
+    """Whole-file read with transparent gunzip for .gz paths via the
+    native codec (libdeflate ~3x python gzip on volume payloads), or
+    None when the library is unavailable (callers fall back to gzip)."""
+    lib = _load()
+    if lib is None:
+        return None
+    size = ctypes.c_size_t(0)
+    ptr = lib.frogio_read_file(str(path).encode(), ctypes.byref(size))
+    if not ptr:
+        return None
+    try:
+        return ctypes.string_at(ptr, size.value)
+    finally:
+        lib.frogio_free(ptr)
+
+
+def write_file_bytes(path: str, data: bytes) -> bool:
+    """Whole-file write, gzip-compressing .gz paths (level 1 — volume IO
+    is latency-bound; ~20x faster than python gzip's default level 9).
+    Returns False when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    rc = lib.frogio_write_file(str(path).encode(), data, len(data))
+    if rc != 0:
+        raise OSError(f"native file write failed: {path}")
+    return True
 
 
 def write_csv_matrix(path: str, mat: np.ndarray) -> bool:

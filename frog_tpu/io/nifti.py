@@ -38,6 +38,38 @@ def _open(path, mode="rb"):
     return open(p, mode)
 
 
+def _read_all_bytes(path) -> bytes:
+    """Whole file, gunzipped if .gz — through the native libdeflate codec
+    when available (~3x python gzip on ~20 MB volume payloads), falling
+    back to the gzip module."""
+    p = str(path)
+    if p.endswith(".gz"):
+        from .native import read_file_bytes
+
+        raw = read_file_bytes(p)
+        if raw is not None:
+            return raw
+    with _open(p) as f:
+        return f.read()
+
+
+def _write_all_bytes(path, data: bytes) -> None:
+    """Whole-file write, gzipping .gz paths — native level-1 gzip when
+    available (~20x python gzip's default level 9 on volume payloads;
+    artifacts are latency-, not size-bound), else the gzip module."""
+    p = str(path)
+    if p.endswith(".gz"):
+        from .native import write_file_bytes
+
+        if write_file_bytes(p, data):
+            return
+        with gzip.open(p, "wb", compresslevel=1) as f:
+            f.write(data)
+        return
+    with open(p, "wb") as f:
+        f.write(data)
+
+
 def _quaternion_to_matrix(b, c, d):
     a2 = 1.0 - (b * b + c * c + d * d)
     a = np.sqrt(max(a2, 0.0))
@@ -56,8 +88,7 @@ def read_nifti(path, reorient_to_ras: bool = True) -> Volume:
     Multi-component images (dim[0] == 5, e.g. VTK-written B-spline
     coefficient grids) come back with shape (nx, ny, nz, ncomp).
     """
-    with _open(path) as f:
-        raw = f.read()
+    raw = _read_all_bytes(path)
 
     hdr = raw[:348]
     (sizeof_hdr,) = struct.unpack_from("<i", hdr, 0)
@@ -194,7 +225,7 @@ def write_nifti(path, vol: Volume, dtype=None) -> None:
         payload = data.transpose(2, 1, 0)  # x fastest
     else:
         payload = data.transpose(3, 2, 1, 0)
-    with _open(path, "wb") as f:
-        f.write(bytes(hdr))
-        f.write(b"\x00" * 4)  # extension flag
-        f.write(np.ascontiguousarray(payload).tobytes())
+    _write_all_bytes(
+        path,
+        bytes(hdr) + b"\x00" * 4 + np.ascontiguousarray(payload).tobytes(),
+    )

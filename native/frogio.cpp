@@ -118,6 +118,64 @@ static char* read_all(const char* path, size_t* size) {
 
 void frogio_free(void* p) { free(p); }
 
+// Whole-file read with transparent gunzip for .gz paths (libdeflate when
+// built with it).  Returns a malloc'd buffer (free via frogio_free) and
+// sets *size; NULL on failure.  Used for volume IO (.nii.gz payloads run
+// ~15-30 MB; libdeflate decompresses ~3x faster than zlib/python gzip).
+char* frogio_read_file(const char* path, size_t* size) {
+    return read_all(path, size);
+}
+
+// Whole-file write; .gz paths gzip-compress (level 1: volume/CSV IO here
+// is latency-, not size-bound — and ~20x faster than python gzip's
+// default level 9 on volume payloads).  Returns 0 on success.
+int frogio_write_file(const char* path, const char* data, size_t n) {
+    size_t len = strlen(path);
+    bool gz = len > 3 && strcmp(path + len - 3, ".gz") == 0;
+    if (!gz) {
+        FILE* f = fopen(path, "wb");
+        if (!f) return -1;
+        bool ok = fwrite(data, 1, n, f) == n;
+        fclose(f);
+        return ok ? 0 : -1;
+    }
+#ifdef HAVE_LIBDEFLATE
+    {
+        struct libdeflate_compressor* comp = libdeflate_alloc_compressor(1);
+        if (comp) {
+            size_t cap = libdeflate_gzip_compress_bound(comp, n);
+            char* buf = (char*)malloc(cap);
+            size_t m = buf ? libdeflate_gzip_compress(comp, data, n, buf, cap)
+                           : 0;
+            libdeflate_free_compressor(comp);
+            if (m) {
+                FILE* f = fopen(path, "wb");
+                bool ok = f && fwrite(buf, 1, m, f) == m;
+                if (f) fclose(f);
+                free(buf);
+                return ok ? 0 : -1;
+            }
+            free(buf);
+        }
+        // fall through to zlib
+    }
+#endif
+    gzFile f = gzopen(path, "wb1");
+    if (!f) return -1;
+    size_t done = 0;
+    while (done < n) {
+        unsigned chunk = (unsigned)((n - done) > (1u << 30) ? (1u << 30)
+                                                            : (n - done));
+        if ((size_t)gzwrite(f, data + done, chunk) != chunk) {
+            gzclose(f);
+            return -1;
+        }
+        done += chunk;
+    }
+    gzclose(f);
+    return 0;
+}
+
 static const double kPow10[23] = {
     1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,  1e8,  1e9,  1e10,
     1e11, 1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22,
