@@ -412,6 +412,8 @@ def fork_sweep(seeds=3):
     report how often the guard schedules fork plus the TRE spread —
     making 'stochastic EM forks the schedule' a measured statement
     (imageGroup.cxx:88-121).  Same shapes across seeds -> one compile."""
+    import jax.numpy as jnp
+
     from frog_tpu.io.pairs import write_pairs
     from frog_tpu.registration import GroupConfig, GroupRegistration
     from tests.synthetic import make_synthetic_group, tre_stats
@@ -463,13 +465,11 @@ def fork_sweep(seeds=3):
         forked = list(reg.grids_per_level) != list(d["grids_per_level"])
         if forked:
             forks += 1
+        n_trips = sum(reg.grids_per_level) - len(reg.grids_per_level)
         log(f"  seed {seed}: grids/level tpu {reg.grids_per_level} vs cpp"
-            f" {d['grids_per_level']}"
-            f" ({sum(reg.grids_per_level) - 2} guard trips)"
+            f" {d['grids_per_level']} ({n_trips} guard trips)"
             + ("  <-- FORK" if forked else ""))
         # TPU-side TRE through the final chains; C++-side via probes out
-        import jax.numpy as jnp
-
         fin = np.stack([
             np.asarray(reg.chains[i](jnp.asarray(probes[i])))
             for i in range(probes.shape[0])

@@ -361,7 +361,7 @@ def _warm_extract_kernels(data, params: SurfParams, lobes: tuple) -> dict:
     )
     dev = getattr(data, "device", None) if committed else None
     key = (data.shape, params.n_points, params.descriptor, params.raw_radius,
-           params.subvoxel, params.exact_topk, lobes, committed and dev)
+           params.subvoxel, params.exact_topk, lobes, dev)
     cached = _extract_warm_futures.get(key)
     if cached is not None:
         return cached
