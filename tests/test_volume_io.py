@@ -84,3 +84,41 @@ def test_ras_reorientation(tmp_path):
     back = read_nifti(f, reorient_to_ras=True)
     np.testing.assert_allclose(back.data, vol.data[::-1], rtol=1e-6)
     np.testing.assert_allclose(back.origin, vol.origin, atol=1e-4)
+
+
+def test_nifti_gz_native_codec_cross_compatible(tmp_path):
+    """The native libdeflate volume codec (io/native.py read_file_bytes /
+    write_file_bytes) produces standard gzip streams: a file written
+    through write_nifti is readable by the pure-python gzip module, and
+    a gzip-module-written file reads back through read_nifti — so
+    artifacts interoperate with the reference tooling regardless of
+    which side wrote them."""
+    import gzip
+    import struct
+
+    import numpy as np
+
+    from frog_tpu.io.nifti import read_nifti, write_nifti
+    from frog_tpu.io.volume import Volume
+
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=(24, 20, 16)).astype(np.float32)
+    vol = Volume(data, origin=(1.0, -2.0, 3.0), spacing=(1.5, 1.5, 2.0))
+
+    # native (or fallback) write -> gzip-module read
+    p1 = str(tmp_path / "a.nii.gz")
+    write_nifti(p1, vol)
+    raw = gzip.open(p1, "rb").read()
+    assert struct.unpack_from("<i", raw, 0)[0] == 348  # NIfTI-1 header
+
+    # gzip-module write -> (native) read
+    p2 = str(tmp_path / "b.nii.gz")
+    with gzip.open(p2, "wb") as f:
+        f.write(raw)
+    back = read_nifti(p2)
+    np.testing.assert_array_equal(np.asarray(back.data), data)
+    np.testing.assert_allclose(back.spacing, vol.spacing)
+
+    # and the full native round trip is bit-exact
+    rt = read_nifti(p1)
+    np.testing.assert_array_equal(np.asarray(rt.data), data)
